@@ -1,0 +1,191 @@
+"""LSTM recurrences as `lax.scan`, with masking instead of packed sequences.
+
+The reference leans on cuDNN LSTMs + pack_padded_sequence everywhere (text
+encoder common.py:328-373, context LSTM radtts.py:147-163, ConvLSTMLinear
+common.py:236-291, AGAP autoregressive_flow.py:93-127). On TPU we instead pad
+to static shapes and mask: the forward direction freezes the carry past each
+sequence's length; the backward direction gathers each sequence's valid
+frames into reversed order, scans forward, and un-reverses — bit-identical to
+packed-sequence semantics with zero padding on the outputs.
+
+Gate math/naming matches torch's LSTM (gates ordered i,f,g,o; two bias
+vectors) so converted checkpoints reproduce reference outputs exactly.
+
+Spectral norm on recurrent weights (torch `spectral_norm(lstm,'weight_hh')`)
+is stored factored as {sn_w, sn_u, sn_v}; sigma is computed from the stored
+power-iteration vectors (stop-gradient), and `spectral_norm_update` performs
+the per-step power iteration as a separate pure tree-walk the trainer calls
+before the grad step — same math, no mutable state in the forward.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _uniform(key, shape, bound):
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def lstm_cell_init(key, input_size, hidden_size, norm=None):
+    """One direction. torch default init U(-1/sqrt(H), 1/sqrt(H)).
+
+    w_ih: (input, 4H) (transposed from torch); recurrent weight kept in torch
+    orientation (4H, H) because spectral norm's u/v vectors attach to it.
+    """
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    bound = 1.0 / math.sqrt(hidden_size)
+    p = {
+        "w_ih": _uniform(k1, (input_size, 4 * hidden_size), bound),
+        "b_ih": _uniform(k3, (4 * hidden_size,), bound),
+        "b_hh": _uniform(k4, (4 * hidden_size,), bound),
+    }
+    w_hh = _uniform(k2, (4 * hidden_size, hidden_size), bound)
+    if norm == "spectral":
+        u = jax.random.normal(k5, (4 * hidden_size,))
+        v = jax.random.normal(k6, (hidden_size,))
+        p["hh"] = {"sn_w": w_hh,
+                   "sn_u": u / (jnp.linalg.norm(u) + 1e-12),
+                   "sn_v": v / (jnp.linalg.norm(v) + 1e-12)}
+    elif norm == "weight":
+        g = jnp.sqrt(jnp.sum(w_hh * w_hh, axis=1))
+        p["hh"] = {"wn_g": g, "wn_v": w_hh}
+    else:
+        p["hh"] = {"w": w_hh}
+    return p
+
+
+def effective_hh(hh):
+    """Collapse any norm factorization to the effective (4H, H) matrix."""
+    if "w" in hh:
+        return hh["w"]
+    if "wn_v" in hh:
+        v = hh["wn_v"]
+        norm = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True)) + 1e-30
+        return hh["wn_g"][:, None] * v / norm
+    w = hh["sn_w"]
+    u = lax.stop_gradient(hh["sn_u"])
+    v = lax.stop_gradient(hh["sn_v"])
+    sigma = u @ (w @ v)
+    return w / sigma
+
+
+def _power_iteration(leaf):
+    w, u = leaf["sn_w"], leaf["sn_u"]
+    v = w.T @ u
+    v = v / (jnp.linalg.norm(v) + 1e-12)
+    u = w @ v
+    u = u / (jnp.linalg.norm(u) + 1e-12)
+    return {"sn_w": w, "sn_u": u, "sn_v": v}
+
+
+def spectral_norm_update(params):
+    """One power-iteration step for every spectral-normed weight in a pytree.
+    Call once per training step (matches torch's in-forward update)."""
+    def walk(node):
+        if isinstance(node, dict):
+            if "sn_w" in node:
+                return _power_iteration(node)
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+    return walk(params)
+
+
+def _cell_step(w_ih, w_hh_t, b, x_t, h, c):
+    gates = x_t @ w_ih + h @ w_hh_t + b
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def lstm_apply(params, x, lengths=None, h0=None, c0=None):
+    """Unidirectional masked LSTM. x: (B, T, in) -> (B, T, H).
+
+    Where t >= lengths[b], the carry is frozen and the output is zero
+    (pack/pad_packed semantics).
+    """
+    B, T, _ = x.shape
+    H = params["b_ih"].shape[0] // 4
+    w_ih = params["w_ih"].astype(x.dtype)
+    w_hh_t = effective_hh(params["hh"]).T.astype(x.dtype)
+    b = (params["b_ih"] + params["b_hh"]).astype(x.dtype)
+
+    h_init = jnp.zeros((B, H), x.dtype) if h0 is None else h0
+    c_init = jnp.zeros((B, H), x.dtype) if c0 is None else c0
+
+    xs = jnp.swapaxes(x, 0, 1)  # (T, B, in)
+    if lengths is None:
+        valid = jnp.ones((T, B), bool)
+    else:
+        valid = (jnp.arange(T)[:, None] < lengths[None, :])
+
+    def step(carry, inp):
+        h, c = carry
+        x_t, v_t = inp
+        h_new, c_new = _cell_step(w_ih, w_hh_t, b, x_t, h, c)
+        v = v_t[:, None]
+        h = jnp.where(v, h_new, h)
+        c = jnp.where(v, c_new, c)
+        out = jnp.where(v, h_new, jnp.zeros_like(h_new))
+        return (h, c), out
+
+    (h_fin, c_fin), ys = lax.scan(step, (h_init, c_init), (xs, valid))
+    return jnp.swapaxes(ys, 0, 1), (h_fin, c_fin)
+
+
+def reverse_padded(x, lengths):
+    """Reverse each sequence's first `lengths[b]` frames in place: frame t ->
+    lengths[b]-1-t. Frames past the length are left as (masked) garbage."""
+    T = x.shape[1]
+    idx = lengths[:, None] - 1 - jnp.arange(T)[None, :]
+    idx = jnp.clip(idx, 0, T - 1)
+    return jnp.take_along_axis(x, idx[:, :, None], axis=1)
+
+
+def bilstm_apply(params, x, lengths=None):
+    """Bidirectional masked LSTM; returns (B, T, 2H) = [fwd ; bwd] like
+    torch's bidirectional=True output layout."""
+    out_f, _ = lstm_apply(params["fwd"], x, lengths)
+    if lengths is None:
+        xr = jnp.flip(x, axis=1)
+        out_b, _ = lstm_apply(params["bwd"], xr, None)
+        out_b = jnp.flip(out_b, axis=1)
+    else:
+        xr = reverse_padded(x, lengths)
+        out_b, _ = lstm_apply(params["bwd"], xr, lengths)
+        out_b = reverse_padded(out_b, lengths)
+        valid = (jnp.arange(x.shape[1])[None, :] < lengths[:, None])
+        out_b = out_b * valid[:, :, None].astype(out_b.dtype)
+    return jnp.concatenate([out_f, out_b], axis=-1)
+
+
+def bilstm_init(key, input_size, hidden_size, norm=None):
+    k1, k2 = jax.random.split(key)
+    return {"fwd": lstm_cell_init(k1, input_size, hidden_size, norm),
+            "bwd": lstm_cell_init(k2, input_size, hidden_size, norm)}
+
+
+def stacked_lstm_init(key, input_size, hidden_size, n_layers, norm=None):
+    params = []
+    d = input_size
+    for _ in range(n_layers):
+        key, sub = jax.random.split(key)
+        params.append(lstm_cell_init(sub, d, hidden_size, norm))
+        d = hidden_size
+    return {"layers": params}
+
+
+def stacked_lstm_apply(params, x, lengths=None, carries=None):
+    """Multi-layer unidirectional LSTM (AGAP decoder LSTM). Returns output
+    and per-layer final (h, c) carries."""
+    new_carries = []
+    for i, lp in enumerate(params["layers"]):
+        h0c0 = (None, None) if carries is None else carries[i]
+        x, hc = lstm_apply(lp, x, lengths, h0=h0c0[0], c0=h0c0[1])
+        new_carries.append(hc)
+    return x, new_carries
