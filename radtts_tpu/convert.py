@@ -90,6 +90,69 @@ def stacked_lstm_from_torch(sd, prefix, n_layers, norm=None):
     return {"layers": layers}
 
 
+def inv1x1_lus_from_torch(sd, prefix):
+    pfx = prefix + "." if prefix else ""
+    return {"p": t2j(sd[pfx + "p"]),
+            "lower": t2j(sd[pfx + "lower"]),
+            "upper": t2j(sd[pfx + "upper"]),
+            "upper_diag": t2j(sd[pfx + "upper_diag"])}
+
+
+def inv1x1_from_torch(sd, prefix):
+    pfx = prefix + "." if prefix else ""
+    w = t2j(sd[pfx + "conv.weight"])  # (c, c, 1)
+    return {"w1x1": w[:, :, 0]}
+
+
+def wn_from_torch(sd, prefix, meta):
+    pfx = prefix + "." if prefix else ""
+    n_layers = meta["n_layers"]
+    return {
+        "start": conv1d_from_torch(sd, pfx + "start", weight_norm=True),
+        "end": conv1d_from_torch(sd, pfx + "end"),
+        "in_layers": [conv1d_from_torch(sd, f"{pfx}in_layers.{i}.conv",
+                                        weight_norm=True)
+                      for i in range(n_layers)],
+        "res_skip": [conv1d_from_torch(sd, f"{pfx}res_skip_layers.{i}",
+                                       weight_norm=True)
+                     for i in range(n_layers)],
+        "_meta": meta,
+    }
+
+
+def simple_convnet_from_torch(sd, prefix, meta):
+    pfx = prefix + "." if prefix else ""
+    n_layers = meta["n_layers"]
+    return {
+        "layers": [conv1d_from_torch(sd, f"{pfx}layers.{i}.conv")
+                   for i in range(n_layers)],
+        "last": conv1d_from_torch(sd, pfx + "last_layer"),
+        "_meta": meta,
+    }
+
+
+def affine_coupling_from_torch(sd, prefix, params_template):
+    """Fill an affine coupling params pytree (from affine_coupling_init) with
+    torch weights at '{prefix}.affine_param_predictor'."""
+    meta = params_template["_meta"]
+    pfx = prefix + "." if prefix else ""
+    pred_meta = params_template["pred"]["_meta"]
+    if meta["affine_model"] == "wavenet":
+        pred = wn_from_torch(sd, pfx + "affine_param_predictor", pred_meta)
+    else:
+        pred = simple_convnet_from_torch(
+            sd, pfx + "affine_param_predictor", pred_meta)
+    return {"pred": pred, "_meta": meta}
+
+
+def spline_coupling_from_torch(sd, prefix, params_template):
+    meta = params_template["_meta"]
+    pfx = prefix + "." if prefix else ""
+    pred = simple_convnet_from_torch(
+        sd, pfx + "param_predictor", params_template["pred"]["_meta"])
+    return {"pred": pred, "_meta": meta}
+
+
 def embedding_from_torch(sd, prefix):
     return {"table": t2j(sd[prefix + ".weight"])}
 

@@ -62,4 +62,16 @@ def install_reference():
         librosa.pyin = None
         _stub("lmdb")
         sys.path.insert(0, REF)
+
+        # The reference hardcodes torch.cuda.LongTensor in its mask builder
+        # (common.py:95); patch a CPU equivalent for parity tests.
+        import torch
+        import common as ref_common
+
+        def _mask_cpu(lengths):
+            max_len = int(torch.max(lengths).item())
+            ids = torch.arange(0, max_len, device=lengths.device)
+            return (ids < lengths.unsqueeze(1)).bool()
+
+        ref_common.get_mask_from_lengths = _mask_cpu
     return REF
