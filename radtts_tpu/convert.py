@@ -153,6 +153,29 @@ def spline_coupling_from_torch(sd, prefix, params_template):
     return {"pred": pred, "_meta": meta}
 
 
+def encoder_from_torch(sd, prefix, n_convs=3, lstm_norm=None):
+    pfx = prefix + "." if prefix else ""
+    convs = [conv1d_from_torch(sd, f"{pfx}convolutions.{i}.0.conv")
+             for i in range(n_convs)]
+    norms = [instance_norm_from_torch(sd, f"{pfx}convolutions.{i}.1")
+             for i in range(n_convs)]
+    lstm = bilstm_from_torch(sd, pfx + "lstm", norm=lstm_norm)
+    from radtts_tpu.ops.static import static
+    return {"convs": convs, "norms": norms, "lstm": lstm,
+            "_meta": static(n_convs=n_convs)}
+
+
+def conv_attention_from_torch(sd, prefix):
+    pfx = prefix + "." if prefix else ""
+    return {
+        "key_proj": [conv1d_from_torch(sd, f"{pfx}key_proj.0.conv"),
+                     conv1d_from_torch(sd, f"{pfx}key_proj.2.conv")],
+        "query_proj": [conv1d_from_torch(sd, f"{pfx}query_proj.0.conv"),
+                       conv1d_from_torch(sd, f"{pfx}query_proj.2.conv"),
+                       conv1d_from_torch(sd, f"{pfx}query_proj.4.conv")],
+    }
+
+
 def embedding_from_torch(sd, prefix):
     return {"table": t2j(sd[prefix + ".weight"])}
 
