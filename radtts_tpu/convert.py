@@ -188,3 +188,200 @@ def instance_norm_from_torch(sd, prefix):
 def layer_norm_from_torch(sd, prefix):
     return {"gamma": t2j(sd[prefix + ".weight"]),
             "beta": t2j(sd[prefix + ".bias"])}
+
+
+# ---------------------------------------------------------------------------
+# attribute predictors
+# ---------------------------------------------------------------------------
+
+
+def bottleneck_from_torch(sd, prefix, template):
+    return {"proj": conv1d_from_torch(sd, prefix + ".projection_fn.conv",
+                                      weight_norm=True),
+            "_meta": template["_meta"]}
+
+
+def conv_lstm_linear_from_torch(sd, prefix, template):
+    meta = template["_meta"]
+    p = {"convs": [conv1d_from_torch(sd, f"{prefix}.convolutions.{i}",
+                                     weight_norm=True)
+                   for i in range(len(template["convs"]))],
+         "_meta": meta}
+    if meta["lstm_type"] == "bilstm":
+        p["lstm"] = bilstm_from_torch(sd, prefix + ".bilstm",
+                                      norm="spectral")
+    elif meta["lstm_type"]:
+        p["lstm"] = lstm_cell_from_torch(sd, prefix + ".bilstm",
+                                         norm="spectral")
+    if meta["use_linear"]:
+        p["dense"] = linear_from_torch(sd, prefix + ".dense")
+    return p
+
+
+def fft_from_torch(sd, prefix, template):
+    layers = []
+    for i, ltmpl in enumerate(template["layers"]):
+        base = f"{prefix}.layers.{i}"
+        attn = {
+            "qkv": linear_from_torch(sd, base + ".dec_attn.qkv_net"),
+            "o": linear_from_torch(sd, base + ".dec_attn.o_net", bias=False),
+            "ln": layer_norm_from_torch(sd, base + ".dec_attn.layer_norm"),
+            "_meta": ltmpl["attn"]["_meta"],
+        }
+        ff = {
+            "conv1": conv1d_from_torch(sd, base + ".pos_ff.CoreNet.0"),
+            "conv2": conv1d_from_torch(sd, base + ".pos_ff.CoreNet.2"),
+            "ln": layer_norm_from_torch(sd, base + ".pos_ff.layer_norm"),
+            "_meta": ltmpl["ff"]["_meta"],
+        }
+        layers.append({"attn": attn, "ff": ff})
+    return {"layers": layers,
+            "dense": linear_from_torch(sd, prefix + ".dense.linear_layer"),
+            "_meta": template["_meta"]}
+
+
+def dap_from_torch(sd, prefix, template):
+    p = {"bottleneck": bottleneck_from_torch(
+        sd, prefix + ".bottleneck_layer", template["bottleneck"]),
+        "_meta": template["_meta"], "_kind": template.get("_kind")}
+    if template["_meta"]["use_transformer"]:
+        p["feat"] = fft_from_torch(sd, prefix + ".feat_pred_fn",
+                                   template["feat"])
+    else:
+        p["feat"] = conv_lstm_linear_from_torch(
+            sd, prefix + ".feat_pred_fn", template["feat"])
+    return {k: v for k, v in p.items() if v is not None}
+
+
+def bgap_from_torch(sd, prefix, template):
+    meta = template["_meta"]
+    n_flows = meta["n_flows"]
+    n_spline = meta["n_spline_steps"]
+    transforms, convinv = [], []
+    for k in range(n_flows):
+        convinv.append(inv1x1_from_torch(sd, f"{prefix}.convinv.{k}"))
+        if k >= n_flows - n_spline:
+            transforms.append(spline_coupling_from_torch(
+                sd, f"{prefix}.transforms.{k}", template["transforms"][k]))
+        else:
+            transforms.append(affine_coupling_from_torch(
+                sd, f"{prefix}.transforms.{k}", template["transforms"][k]))
+    p = {"bottleneck": bottleneck_from_torch(
+        sd, prefix + ".bottleneck_layer", template["bottleneck"]),
+        "transforms": transforms, "convinv": convinv,
+        "_meta": meta, "_kind": template.get("_kind")}
+    return {k: v for k, v in p.items() if v is not None}
+
+
+def ar_step_from_torch(sd, prefix, template):
+    n_lstm_layers = len(template["lstm"]["layers"])
+    p = {"attr_lstm": lstm_cell_from_torch(sd, prefix + ".attr_lstm"),
+         "lstm": stacked_lstm_from_torch(sd, prefix + ".lstm",
+                                         n_lstm_layers),
+         "_meta": template["_meta"]}
+    if template["_meta"]["has_spline"]:
+        p["spline_flow"] = {
+            "pred": simple_convnet_from_torch(
+                sd, prefix + ".spline_flow.param_predictor",
+                template["spline_flow"]["pred"]["_meta"]),
+            "_meta": template["spline_flow"]["_meta"]}
+    else:
+        n_dense = len(template["dense"]["layers"])
+        p["dense"] = {"layers": [
+            linear_from_torch(sd, f"{prefix}.dense_layer.layers.{j}"
+                              ".linear_layer") for j in range(n_dense)]}
+        p["conv"] = conv1d_from_torch(sd, prefix + ".conv")
+    return p
+
+
+def agap_from_torch(sd, prefix, template):
+    flows = []
+    for i, ftmpl in enumerate(template["flows"]):
+        base = (f"{prefix}.flows.{i}" if i % 2 == 0
+                else f"{prefix}.flows.{i}.ar_step")
+        flows.append(ar_step_from_torch(sd, base, ftmpl))
+    p = {"bottleneck": bottleneck_from_torch(
+        sd, prefix + ".bottleneck_layer", template["bottleneck"]),
+        "flows": flows, "_meta": template["_meta"],
+        "_kind": template.get("_kind")}
+    return {k: v for k, v in p.items() if v is not None}
+
+
+def attribute_model_from_torch(sd, prefix, template):
+    name = template["_kind"]["name"]
+    fn = {"dap": dap_from_torch, "bgap": bgap_from_torch,
+          "agap": agap_from_torch}[name]
+    return fn(sd, prefix, template)
+
+
+# ---------------------------------------------------------------------------
+# full RADTTS model
+# ---------------------------------------------------------------------------
+
+
+def radtts_from_torch(sd, model_config, template=None, strict=True):
+    """Convert a reference RADTTS state_dict (train.py:190-197 checkpoint
+    'state_dict') into our params pytree. A template built by radtts_init is
+    used for structure; pass one to avoid re-initializing."""
+    import jax
+
+    from radtts_tpu.models.radtts import radtts_init
+
+    if template is None:
+        template = radtts_init(jax.random.PRNGKey(0), model_config)
+    meta = template["_meta"]
+
+    p = {"_meta": meta}
+    p["speaker_embedding"] = embedding_from_torch(sd, "speaker_embedding")
+    p["embedding"] = embedding_from_torch(sd, "embedding")
+
+    enc_norm = None
+    if model_config.get("text_encoder_lstm_norm"):
+        n = model_config["text_encoder_lstm_norm"]
+        enc_norm = ("spectral" if "spectral" in n
+                    else "weight" if "weight" in n else None)
+    p["encoder"] = encoder_from_torch(sd, "encoder", n_convs=3,
+                                      lstm_norm=enc_norm)
+
+    if "attention" in template:
+        p["attention"] = conv_attention_from_torch(sd, "attention")
+
+    if "context_lstm" in template:
+        cn = model_config.get("context_lstm_norm")
+        ctx_norm = (None if cn is None else
+                    "spectral" if "spectral" in cn
+                    else "weight" if "weight" in cn else None)
+        p["context_lstm"] = bilstm_from_torch(sd, "context_lstm",
+                                              norm=ctx_norm)
+
+    if "flows" in template:
+        flows = []
+        for i, ftmpl in enumerate(template["flows"]):
+            base = f"flows.{i}"
+            if meta["matrix_decomposition"] == "LUS":
+                inv = inv1x1_lus_from_torch(sd, base + ".invtbl_conv")
+            else:
+                inv = inv1x1_from_torch(sd, base + ".invtbl_conv")
+            affine = affine_coupling_from_torch(
+                sd, base + ".affine_tfn", ftmpl["affine"])
+            flows.append({"inv": inv, "affine": affine})
+        p["flows"] = flows
+
+    if "dur_pred_layer" in template:
+        p["dur_pred_layer"] = attribute_model_from_torch(
+            sd, "dur_pred_layer", template["dur_pred_layer"])
+    if "unvoiced_bias" in template:
+        p["unvoiced_bias"] = linear_from_torch(
+            sd, "unvoiced_bias_module.0.linear_layer")
+    if "v_pred_module" in template:
+        p["v_pred_module"] = attribute_model_from_torch(
+            sd, "v_pred_module", template["v_pred_module"])
+    if "v_embeddings" in template:
+        p["v_embeddings"] = embedding_from_torch(sd, "v_embeddings")
+    if "f0_pred_module" in template:
+        p["f0_pred_module"] = attribute_model_from_torch(
+            sd, "f0_pred_module", template["f0_pred_module"])
+    if "energy_pred_module" in template:
+        p["energy_pred_module"] = attribute_model_from_torch(
+            sd, "energy_pred_module", template["energy_pred_module"])
+    return p

@@ -1,0 +1,211 @@
+"""HiFi-GAN vocoder: generator (transposed-conv upsampling + multi-receptive
+-field resblocks) and spectral-bias denoiser (behavior parity with reference
+hifigan_models.py:151-225 and hifigan_denoiser.py:25-59).
+
+TPU notes: channels-last; ConvTranspose1d is lowered as an input-dilated
+conv_general_dilated (kernel pre-flipped at conversion), which XLA maps onto
+the MXU; weight norm is collapsed at load (inference path).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from radtts_tpu.convert import t2j
+from radtts_tpu.ops.conv import conv1d_apply
+from radtts_tpu.ops.static import static
+from radtts_tpu.ops.stft import istft, stft_magnitude_phase
+
+LRELU_SLOPE = 0.1
+_DIMNUMS = ("NHC", "HIO", "NHC")
+
+
+class AttrDict(dict):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.__dict__ = self
+
+
+def conv_transpose1d_apply(params, x, stride, padding):
+    """x: (B, T, C_in). Weight already stored flipped as (K, C_in, C_out)
+    so that an lhs-dilated conv reproduces torch ConvTranspose1d."""
+    w = params["w"].astype(x.dtype)
+    k = w.shape[0]
+    y = lax.conv_general_dilated(
+        x, w, window_strides=(1,),
+        padding=[(k - 1 - padding, k - 1 - padding)],
+        lhs_dilation=(stride,), dimension_numbers=_DIMNUMS)
+    if "b" in params:
+        y = y + params["b"].astype(x.dtype)
+    return y
+
+
+def _collapse_weight_norm(sd, prefix):
+    """Read a weight-normed torch conv and collapse to a single kernel."""
+    import numpy as np
+    g = np.asarray(sd[prefix + ".weight_g"].detach().cpu().numpy())
+    v = np.asarray(sd[prefix + ".weight_v"].detach().cpu().numpy())
+    norm = np.sqrt((v ** 2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
+    return g * v / norm
+
+
+def _conv_from_sd(sd, prefix, weight_norm=True):
+    import numpy as np
+    if weight_norm:
+        w = _collapse_weight_norm(sd, prefix)
+    else:
+        w = np.asarray(sd[prefix + ".weight"].detach().cpu().numpy())
+    p = {"w": jnp.asarray(np.transpose(w, (2, 1, 0)), jnp.float32)}
+    if prefix + ".bias" in sd:
+        p["b"] = t2j(sd[prefix + ".bias"])
+    return p
+
+
+def _convT_from_sd(sd, prefix):
+    """torch ConvTranspose1d weight (C_in, C_out, K) -> flipped (K, C_in,
+    C_out) for the lhs-dilated equivalent conv."""
+    import numpy as np
+    w = _collapse_weight_norm(sd, prefix)   # (in, out, k)
+    w = w[:, :, ::-1]                        # spatial flip
+    p = {"w": jnp.asarray(np.ascontiguousarray(np.transpose(w, (2, 0, 1))),
+                          jnp.float32)}
+    if prefix + ".bias" in sd:
+        p["b"] = t2j(sd[prefix + ".bias"])
+    return p
+
+
+def _remap_legacy_keys(sd):
+    """Old checkpoints use flat resblocks.N.*; new layout is
+    resblocks.{N//3}.{N%3}.* (reference: hifigan_models.py:186-198)."""
+    out = {}
+    for k, v in sd.items():
+        new_k = k
+        if "resblocks" in k:
+            parts = k.split(".")
+            if len(parts) == 5:
+                layer = int(parts[1])
+                new_k = (f"resblocks.{layer // 3}.{layer % 3}."
+                         + ".".join(parts[2:]))
+        out[new_k] = v
+    return out
+
+
+def _get_padding(kernel_size, dilation=1):
+    return int((kernel_size * dilation - dilation) / 2)
+
+
+def hifigan_generator_from_torch(state_dict, h):
+    """Build generator params from a torch state_dict + AttrDict config."""
+    sd = _remap_legacy_keys(state_dict)
+    n_ups = len(h["upsample_rates"])
+    n_kernels = len(h["resblock_kernel_sizes"])
+    resblock_kind = h["resblock"]
+
+    params = {"conv_pre": _conv_from_sd(sd, "conv_pre")}
+    ups, resblocks = [], []
+    for i in range(n_ups):
+        ups.append(_convT_from_sd(sd, f"ups.{i}"))
+        group = []
+        for j in range(n_kernels):
+            base = f"resblocks.{i}.{j}"
+            if resblock_kind == "1":
+                block = {
+                    "convs1": [_conv_from_sd(sd, f"{base}.convs1.{m}")
+                               for m in range(3)],
+                    "convs2": [_conv_from_sd(sd, f"{base}.convs2.{m}")
+                               for m in range(3)],
+                }
+            else:
+                block = {"convs": [_conv_from_sd(sd, f"{base}.convs.{m}")
+                                   for m in range(2)]}
+            group.append(block)
+        resblocks.append(group)
+    params["ups"] = ups
+    params["resblocks"] = resblocks
+    params["conv_post"] = _conv_from_sd(sd, "conv_post")
+    params["_meta"] = static(
+        upsample_rates=tuple(h["upsample_rates"]),
+        upsample_kernel_sizes=tuple(h["upsample_kernel_sizes"]),
+        resblock_kernel_sizes=tuple(h["resblock_kernel_sizes"]),
+        resblock_dilation_sizes=tuple(
+            tuple(d) for d in h["resblock_dilation_sizes"]),
+        resblock=resblock_kind,
+    )
+    return params
+
+
+def _resblock1_apply(block, x, kernel_size, dilations):
+    for c1, c2, d in zip(block["convs1"], block["convs2"], dilations):
+        xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        xt = conv1d_apply(c1, xt, padding=_get_padding(kernel_size, d),
+                          dilation=d)
+        xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+        xt = conv1d_apply(c2, xt, padding=_get_padding(kernel_size, 1))
+        x = xt + x
+    return x
+
+
+def _resblock2_apply(block, x, kernel_size, dilations):
+    for c, d in zip(block["convs"], dilations):
+        xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        xt = conv1d_apply(c, xt, padding=_get_padding(kernel_size, d),
+                          dilation=d)
+        x = xt + x
+    return x
+
+
+def hifigan_generator_apply(params, mel):
+    """mel: (B, T, 80) -> waveform (B, T * prod(upsample_rates))."""
+    meta = params["_meta"]
+    rates = meta["upsample_rates"]
+    kernels = meta["upsample_kernel_sizes"]
+    rk = meta["resblock_kernel_sizes"]
+    rd = meta["resblock_dilation_sizes"]
+    is_rb1 = meta["resblock"] == "1"
+
+    x = conv1d_apply(params["conv_pre"], mel, padding=3)
+    for i, (u, k) in enumerate(zip(rates, kernels)):
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        x = conv_transpose1d_apply(params["ups"][i], x, u, (k - u) // 2)
+        xs = jnp.zeros_like(x)
+        for j, block in enumerate(params["resblocks"][i]):
+            if is_rb1:
+                xs = xs + _resblock1_apply(block, x, rk[j], rd[j])
+            else:
+                xs = xs + _resblock2_apply(block, x, rk[j], rd[j])
+        x = xs / len(rk)
+    x = jax.nn.leaky_relu(x)  # default torch slope 0.01 (reference line 211)
+    x = conv1d_apply(params["conv_post"], x, padding=3)
+    return jnp.tanh(x)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Denoiser (reference: hifigan_denoiser.py:25-59)
+# ---------------------------------------------------------------------------
+
+
+def denoiser_init(generator_params, filter_length=1024, n_overlap=4,
+                  win_length=1024, mode="zeros"):
+    hop = int(filter_length / n_overlap)
+    if mode == "zeros":
+        mel_input = jnp.zeros((1, 88, 80))
+    elif mode == "normal":
+        mel_input = jax.random.normal(jax.random.PRNGKey(0), (1, 88, 80))
+    else:
+        raise ValueError(f"Mode {mode} not supported")
+    bias_audio = hifigan_generator_apply(generator_params, mel_input)
+    bias_spec, _ = stft_magnitude_phase(bias_audio, filter_length, hop,
+                                        win_length)
+    return {"bias_spec": bias_spec[:, 0:1, :],
+            "_meta": static(filter_length=filter_length, hop_length=hop,
+                            win_length=win_length)}
+
+
+def denoiser_apply(params, audio, strength=0.1):
+    """audio: (B, n). Subtract strength x vocoder bias spectrum."""
+    meta = params["_meta"]
+    spec, phase = stft_magnitude_phase(
+        audio, meta["filter_length"], meta["hop_length"], meta["win_length"])
+    spec = jnp.clip(spec - params["bias_spec"] * strength, 0.0)
+    return istft(spec, phase, meta["filter_length"], meta["hop_length"],
+                 meta["win_length"])

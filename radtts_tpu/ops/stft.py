@@ -1,0 +1,96 @@
+"""STFT / mel-spectrogram frontend.
+
+Numerically equivalent to the reference's conv1d-implemented STFT
+(reference: audio_processing.py:192-291: reflect pad n_fft/2, hann window,
+Fourier-basis conv == windowed rFFT) and TacotronSTFT mel pipeline
+(audio_processing.py:116-154: slaney mel filterbank matmul + log-clamp
+dynamic range compression).
+
+Implementation: frame gather + jnp.fft.rfft + one (n_freq, n_mel) matmul —
+XLA fuses the window multiply and |.| into the surrounding ops. Inverse STFT
+(for the vocoder denoiser) uses overlap-add with window-sumsquare correction.
+"""
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.signal
+
+from radtts_tpu.data.mel_filters import mel_filterbank
+
+
+@functools.lru_cache(maxsize=8)
+def hann_window(win_length, n_fft):
+    w = scipy.signal.get_window("hann", win_length, fftbins=True)
+    lpad = (n_fft - win_length) // 2
+    w = np.pad(w, (lpad, n_fft - win_length - lpad))
+    return jnp.asarray(w, jnp.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def mel_basis(sampling_rate, n_fft, n_mels, fmin, fmax):
+    return jnp.asarray(mel_filterbank(sampling_rate, n_fft, n_mels, fmin,
+                                      fmax))
+
+
+def frame_signal(audio, n_fft, hop_length):
+    """audio: (B, n) -> frames (B, T, n_fft) with reflect padding n_fft//2."""
+    pad = n_fft // 2
+    x = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = 1 + (x.shape[1] - n_fft) // hop_length
+    idx = (jnp.arange(n_frames)[:, None] * hop_length
+           + jnp.arange(n_fft)[None, :])
+    return x[:, idx]
+
+
+def stft_magnitude_phase(audio, n_fft=1024, hop_length=256, win_length=1024):
+    """audio: (B, n) in [-1, 1]. Returns (magnitude, phase) each
+    (B, T, n_fft//2+1)."""
+    frames = frame_signal(audio, n_fft, hop_length)
+    w = hann_window(win_length, n_fft)
+    spec = jnp.fft.rfft(frames * w[None, None, :], axis=-1)
+    mag = jnp.abs(spec).astype(jnp.float32)
+    phase = jnp.angle(spec).astype(jnp.float32)
+    return mag, phase
+
+
+def istft(magnitude, phase, n_fft=1024, hop_length=256, win_length=1024):
+    """Inverse STFT via irfft + overlap-add with window-sumsquare correction
+    (reference: audio_processing.py:257-286). magnitude/phase: (B, T, F)."""
+    B, T, _ = magnitude.shape
+    spec = magnitude * jnp.exp(1j * phase)
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # (B, T, n_fft)
+    w = hann_window(win_length, n_fft)
+    frames = frames * w[None, None, :]
+
+    n = n_fft + hop_length * (T - 1)
+    idx = (jnp.arange(T)[:, None] * hop_length
+           + jnp.arange(n_fft)[None, :]).reshape(-1)
+    sig = jnp.zeros((B, n), frames.dtype)
+    sig = sig.at[:, idx].add(frames.reshape(B, -1))
+
+    wss = jnp.zeros((n,), jnp.float32)
+    wsq = jnp.square(w)
+    wss = wss.at[idx].add(jnp.tile(wsq, T))
+    tiny = jnp.finfo(jnp.float32).tiny
+    sig = jnp.where(wss[None, :] > tiny, sig / jnp.maximum(wss, tiny), sig)
+    pad = n_fft // 2
+    return sig[:, pad:-pad]
+
+
+def dynamic_range_compression(x, C=1.0, clip_val=1e-5):
+    return jnp.log(jnp.clip(x, clip_val) * C)
+
+
+def mel_spectrogram(audio, *, filter_length=1024, hop_length=256,
+                    win_length=1024, n_mel_channels=80, sampling_rate=22050,
+                    mel_fmin=0.0, mel_fmax=8000.0):
+    """audio: (B, n) in [-1, 1] -> log-mel (B, T, n_mel)."""
+    mag, _ = stft_magnitude_phase(audio, filter_length, hop_length,
+                                  win_length)
+    basis = mel_basis(sampling_rate, filter_length, n_mel_channels,
+                      mel_fmin, mel_fmax)
+    mel = jnp.einsum("btf,mf->btm", mag, basis,
+                     preferred_element_type=jnp.float32)
+    return dynamic_range_compression(mel)

@@ -1,0 +1,109 @@
+"""Optimizers as optax GradientTransformations with torch-exact update math.
+
+RAdam reproduces the reference's rectified Adam (reference: radam.py:42-120)
+including its decoupled-by-lr weight decay and the N_sma < 5 fallback; Adam
+matches torch.optim.Adam's eps placement (which differs from optax.adam).
+"""
+
+from typing import NamedTuple
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class _MomentState(NamedTuple):
+    count: chex.Array
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def _init_moments(params):
+    return _MomentState(
+        count=jnp.zeros([], jnp.int32),
+        mu=jax.tree.map(jnp.zeros_like, params),
+        nu=jax.tree.map(jnp.zeros_like, params),
+    )
+
+
+def radam(learning_rate=1e-4, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0):
+    def init_fn(params):
+        return _init_moments(params)
+
+    def update_fn(updates, state, params=None):
+        t = state.count + 1
+        tf = t.astype(jnp.float32)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state.nu, updates)
+        beta2_t = b2 ** tf
+        n_sma_max = 2.0 / (1 - b2) - 1.0
+        n_sma = n_sma_max - 2.0 * tf * beta2_t / (1 - beta2_t)
+
+        rect = jnp.sqrt(
+            (1 - beta2_t) * (n_sma - 4) / (n_sma_max - 4)
+            * (n_sma - 2) / n_sma * n_sma_max / (n_sma_max - 2))
+        bias1 = 1 - b1 ** tf
+        step_size_rect = learning_rate * rect / bias1
+        step_size_plain = learning_rate / bias1
+        use_rect = n_sma >= 5.0
+
+        def upd(m, v, p):
+            delta_rect = step_size_rect * m / (jnp.sqrt(v) + eps)
+            delta_plain = step_size_plain * m
+            delta = jnp.where(use_rect, delta_rect, delta_plain)
+            if weight_decay != 0 and p is not None:
+                delta = delta + weight_decay * learning_rate * p
+            return -delta
+
+        new_updates = jax.tree.map(upd, mu, nu, params)
+        return new_updates, _MomentState(count=t, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def torch_adam(learning_rate=1e-4, b1=0.9, b2=0.999, eps=1e-8,
+               weight_decay=0.0):
+    """torch.optim.Adam semantics (L2 weight decay added to the gradient)."""
+    def init_fn(params):
+        return _init_moments(params)
+
+    def update_fn(updates, state, params=None):
+        if weight_decay != 0 and params is not None:
+            updates = jax.tree.map(lambda g, p: g + weight_decay * p,
+                                   updates, params)
+        t = state.count + 1
+        tf = t.astype(jnp.float32)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state.nu, updates)
+        bias1 = 1 - b1 ** tf
+        bias2 = 1 - b2 ** tf
+        step = learning_rate / bias1
+
+        def upd(m, v):
+            denom = jnp.sqrt(v) / jnp.sqrt(bias2) + eps
+            return -(step * m / denom)
+
+        new_updates = jax.tree.map(upd, mu, nu)
+        return new_updates, _MomentState(count=t, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def build_optimizer(optim_algo, learning_rate, weight_decay,
+                    grad_clip_val=0.0):
+    """Optimizer chain matching the reference trainer (train.py:340-348,
+    417-420): optional global-norm clip then Adam/RAdam."""
+    if optim_algo == "RAdam":
+        opt = radam(learning_rate, weight_decay=weight_decay)
+    elif optim_algo == "Adam":
+        opt = torch_adam(learning_rate, weight_decay=weight_decay)
+    else:
+        raise ValueError(f"Unrecognized optimizer {optim_algo}")
+    if grad_clip_val and grad_clip_val > 0:
+        return optax.chain(optax.clip_by_global_norm(grad_clip_val), opt)
+    return opt
