@@ -195,33 +195,37 @@ def layer_norm_from_torch(sd, prefix):
 # ---------------------------------------------------------------------------
 
 
+def _p(prefix):
+    return prefix + "." if prefix else ""
+
+
 def bottleneck_from_torch(sd, prefix, template):
-    return {"proj": conv1d_from_torch(sd, prefix + ".projection_fn.conv",
+    return {"proj": conv1d_from_torch(sd, _p(prefix) + "projection_fn.conv",
                                       weight_norm=True),
             "_meta": template["_meta"]}
 
 
 def conv_lstm_linear_from_torch(sd, prefix, template):
     meta = template["_meta"]
-    p = {"convs": [conv1d_from_torch(sd, f"{prefix}.convolutions.{i}",
+    p = {"convs": [conv1d_from_torch(sd, f"{_p(prefix)}convolutions.{i}",
                                      weight_norm=True)
                    for i in range(len(template["convs"]))],
          "_meta": meta}
     if meta["lstm_type"] == "bilstm":
-        p["lstm"] = bilstm_from_torch(sd, prefix + ".bilstm",
+        p["lstm"] = bilstm_from_torch(sd, _p(prefix) + "bilstm",
                                       norm="spectral")
     elif meta["lstm_type"]:
-        p["lstm"] = lstm_cell_from_torch(sd, prefix + ".bilstm",
+        p["lstm"] = lstm_cell_from_torch(sd, _p(prefix) + "bilstm",
                                          norm="spectral")
     if meta["use_linear"]:
-        p["dense"] = linear_from_torch(sd, prefix + ".dense")
+        p["dense"] = linear_from_torch(sd, _p(prefix) + "dense")
     return p
 
 
 def fft_from_torch(sd, prefix, template):
     layers = []
     for i, ltmpl in enumerate(template["layers"]):
-        base = f"{prefix}.layers.{i}"
+        base = f"{_p(prefix)}layers.{i}"
         attn = {
             "qkv": linear_from_torch(sd, base + ".dec_attn.qkv_net"),
             "o": linear_from_torch(sd, base + ".dec_attn.o_net", bias=False),
@@ -236,20 +240,20 @@ def fft_from_torch(sd, prefix, template):
         }
         layers.append({"attn": attn, "ff": ff})
     return {"layers": layers,
-            "dense": linear_from_torch(sd, prefix + ".dense.linear_layer"),
+            "dense": linear_from_torch(sd, _p(prefix) + "dense.linear_layer"),
             "_meta": template["_meta"]}
 
 
 def dap_from_torch(sd, prefix, template):
     p = {"bottleneck": bottleneck_from_torch(
-        sd, prefix + ".bottleneck_layer", template["bottleneck"]),
+        sd, _p(prefix) + "bottleneck_layer", template["bottleneck"]),
         "_meta": template["_meta"], "_kind": template.get("_kind")}
     if template["_meta"]["use_transformer"]:
-        p["feat"] = fft_from_torch(sd, prefix + ".feat_pred_fn",
+        p["feat"] = fft_from_torch(sd, _p(prefix) + "feat_pred_fn",
                                    template["feat"])
     else:
         p["feat"] = conv_lstm_linear_from_torch(
-            sd, prefix + ".feat_pred_fn", template["feat"])
+            sd, _p(prefix) + "feat_pred_fn", template["feat"])
     return {k: v for k, v in p.items() if v is not None}
 
 
@@ -259,15 +263,15 @@ def bgap_from_torch(sd, prefix, template):
     n_spline = meta["n_spline_steps"]
     transforms, convinv = [], []
     for k in range(n_flows):
-        convinv.append(inv1x1_from_torch(sd, f"{prefix}.convinv.{k}"))
+        convinv.append(inv1x1_from_torch(sd, f"{_p(prefix)}convinv.{k}"))
         if k >= n_flows - n_spline:
             transforms.append(spline_coupling_from_torch(
-                sd, f"{prefix}.transforms.{k}", template["transforms"][k]))
+                sd, f"{_p(prefix)}transforms.{k}", template["transforms"][k]))
         else:
             transforms.append(affine_coupling_from_torch(
-                sd, f"{prefix}.transforms.{k}", template["transforms"][k]))
+                sd, f"{_p(prefix)}transforms.{k}", template["transforms"][k]))
     p = {"bottleneck": bottleneck_from_torch(
-        sd, prefix + ".bottleneck_layer", template["bottleneck"]),
+        sd, _p(prefix) + "bottleneck_layer", template["bottleneck"]),
         "transforms": transforms, "convinv": convinv,
         "_meta": meta, "_kind": template.get("_kind")}
     return {k: v for k, v in p.items() if v is not None}
@@ -275,33 +279,33 @@ def bgap_from_torch(sd, prefix, template):
 
 def ar_step_from_torch(sd, prefix, template):
     n_lstm_layers = len(template["lstm"]["layers"])
-    p = {"attr_lstm": lstm_cell_from_torch(sd, prefix + ".attr_lstm"),
-         "lstm": stacked_lstm_from_torch(sd, prefix + ".lstm",
+    p = {"attr_lstm": lstm_cell_from_torch(sd, _p(prefix) + "attr_lstm"),
+         "lstm": stacked_lstm_from_torch(sd, _p(prefix) + "lstm",
                                          n_lstm_layers),
          "_meta": template["_meta"]}
     if template["_meta"]["has_spline"]:
         p["spline_flow"] = {
             "pred": simple_convnet_from_torch(
-                sd, prefix + ".spline_flow.param_predictor",
+                sd, _p(prefix) + "spline_flow.param_predictor",
                 template["spline_flow"]["pred"]["_meta"]),
             "_meta": template["spline_flow"]["_meta"]}
     else:
         n_dense = len(template["dense"]["layers"])
         p["dense"] = {"layers": [
-            linear_from_torch(sd, f"{prefix}.dense_layer.layers.{j}"
+            linear_from_torch(sd, f"{_p(prefix)}dense_layer.layers.{j}"
                               ".linear_layer") for j in range(n_dense)]}
-        p["conv"] = conv1d_from_torch(sd, prefix + ".conv")
+        p["conv"] = conv1d_from_torch(sd, _p(prefix) + "conv")
     return p
 
 
 def agap_from_torch(sd, prefix, template):
     flows = []
     for i, ftmpl in enumerate(template["flows"]):
-        base = (f"{prefix}.flows.{i}" if i % 2 == 0
-                else f"{prefix}.flows.{i}.ar_step")
+        base = (f"{_p(prefix)}flows.{i}" if i % 2 == 0
+                else f"{_p(prefix)}flows.{i}.ar_step")
         flows.append(ar_step_from_torch(sd, base, ftmpl))
     p = {"bottleneck": bottleneck_from_torch(
-        sd, prefix + ".bottleneck_layer", template["bottleneck"]),
+        sd, _p(prefix) + "bottleneck_layer", template["bottleneck"]),
         "flows": flows, "_meta": template["_meta"],
         "_kind": template.get("_kind")}
     return {k: v for k, v in p.items() if v is not None}

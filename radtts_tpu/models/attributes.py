@@ -78,7 +78,11 @@ def attr_denormalize(x, take_log):
 
 
 def bottleneck_init(key, in_dim, reduction_factor, norm="weightnorm",
-                    non_linearity="relu", kernel_size=3):
+                    non_linearity="relu", kernel_size=3,
+                    use_partial_padding=False):
+    # use_partial_padding accepted for config parity; the reference's
+    # BottleneckLayerLayer takes it but never forwards it to its conv
+    # (attribute_prediction_model.py:61-77)
     reduced = int(in_dim / reduction_factor)
     p = {"proj": conv_norm_init(key, in_dim, reduced, kernel_size,
                                 use_weight_norm=(norm == "weightnorm"))}

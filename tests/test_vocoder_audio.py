@@ -1,0 +1,100 @@
+"""HiFi-GAN generator/denoiser and STFT/mel frontend parity."""
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from tests.ref_utils import install_reference
+
+install_reference()
+
+from audio_processing import STFT as RefSTFT  # noqa: E402
+from audio_processing import TacotronSTFT as RefTacotronSTFT  # noqa: E402
+from hifigan_denoiser import Denoiser as RefDenoiser  # noqa: E402
+from hifigan_env import AttrDict as RefAttrDict  # noqa: E402
+from hifigan_models import Generator as RefGenerator  # noqa: E402
+
+from radtts_tpu.models.hifigan import (denoiser_apply, denoiser_init,  # noqa
+                                       hifigan_generator_apply,
+                                       hifigan_generator_from_torch)
+from radtts_tpu.ops.stft import (istft, mel_spectrogram,  # noqa: E402
+                                 stft_magnitude_phase)
+
+H_SMALL = {
+    "resblock": "1",
+    "upsample_rates": [4, 4, 2],
+    "upsample_kernel_sizes": [8, 8, 4],
+    "upsample_initial_channel": 64,
+    "resblock_kernel_sizes": [3, 7, 11],
+    "resblock_dilation_sizes": [[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+    "gaussian_blur": {"p_blurring": 0.0},
+}
+
+
+def test_hifigan_generator_parity():
+    torch.manual_seed(0)
+    h = RefAttrDict(dict(H_SMALL))
+    ref = RefGenerator(h).eval()
+    mel = torch.randn(2, 80, 17)
+    with torch.no_grad():
+        wav_ref = ref(mel)  # (B, 1, T)
+
+    params = hifigan_generator_from_torch(ref.state_dict(), H_SMALL)
+    wav = hifigan_generator_apply(params,
+                                  jnp.asarray(mel.numpy().transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(wav), wav_ref[:, 0].numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_stft_and_mel_parity():
+    torch.manual_seed(1)
+    audio = torch.rand(2, 5000) * 1.6 - 0.8
+    ref_stft = RefSTFT(filter_length=1024, hop_length=256, win_length=1024)
+    with torch.no_grad():
+        mag_ref, phase_ref = ref_stft.transform(audio)
+
+    mag, phase = stft_magnitude_phase(jnp.asarray(audio.numpy()), 1024, 256,
+                                      1024)
+    np.testing.assert_allclose(np.asarray(mag).transpose(0, 2, 1),
+                               mag_ref.numpy(), rtol=1e-3, atol=1e-4)
+
+    ref_mel_fn = RefTacotronSTFT(1024, 256, 1024, 80, 22050, 0.0, 8000.0)
+    with torch.no_grad():
+        mel_ref = ref_mel_fn.mel_spectrogram(audio)
+    mel = mel_spectrogram(jnp.asarray(audio.numpy()))
+    np.testing.assert_allclose(np.asarray(mel).transpose(0, 2, 1),
+                               mel_ref.numpy(), rtol=1e-3, atol=2e-3)
+
+
+def test_istft_roundtrip():
+    torch.manual_seed(2)
+    audio = (torch.rand(1, 4096) * 1.6 - 0.8).numpy()
+    mag, phase = stft_magnitude_phase(jnp.asarray(audio), 1024, 256, 1024)
+    rec = istft(mag, phase, 1024, 256, 1024)
+    n = min(rec.shape[1], audio.shape[1])
+    # interior samples reconstruct exactly; edges are window-attenuated
+    np.testing.assert_allclose(np.asarray(rec)[:, 512:n - 512],
+                               audio[:, 512:n - 512], atol=1e-3)
+
+
+def test_denoiser_parity():
+    torch.manual_seed(3)
+    h = RefAttrDict(dict(H_SMALL))
+    ref_gen = RefGenerator(h).eval()
+    with torch.no_grad():
+        ref_den = RefDenoiser(ref_gen, filter_length=1024, n_overlap=4,
+                              win_length=1024)
+    audio = torch.rand(1, 6000) * 1.2 - 0.6
+    with torch.no_grad():
+        out_ref = ref_den(audio, strength=0.02)
+
+    params = hifigan_generator_from_torch(ref_gen.state_dict(), H_SMALL)
+    den = denoiser_init(params)
+    np.testing.assert_allclose(
+        np.asarray(den["bias_spec"])[:, 0],
+        ref_den.bias_spec[:, :, 0].numpy(), rtol=1e-3, atol=1e-4)
+    out = denoiser_apply(den, jnp.asarray(audio.numpy()), strength=0.02)
+    n = min(out.shape[-1], out_ref.shape[-1])
+    np.testing.assert_allclose(np.asarray(out)[:, 256:n - 256],
+                               out_ref[:, 0, 256:n - 256].numpy(), atol=2e-3)
