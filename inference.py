@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""Text -> waveform inference CLI (same public surface as the reference
+inference.py:159-206: same flags, config JSONs, filelist formats; loads
+reference torch checkpoints or native .npz checkpoints).
+
+Pipeline: text -> durations (stage 1 jit) -> attributes + inverse flow
+decode at a bucketed static frame budget (stage 2 jit) -> HiFi-GAN ->
+denoiser -> wav.
+"""
+
+import argparse
+import functools
+import json
+import os
+
+import numpy as np
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # some TPU plugins ignore the env var; enforce it via config
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import jax.numpy as jnp
+
+from radtts_tpu.config import update_params
+from radtts_tpu.data.dataset import Data
+from radtts_tpu.models.hifigan import (denoiser_apply,
+                                       hifigan_generator_apply)
+from radtts_tpu.models.radtts import (infer_durations, radtts_infer,
+                                      radtts_init)
+from radtts_tpu.ops.invertible import precompute_inverses
+from radtts_tpu.train.checkpoint import load_any_radtts_checkpoint
+from radtts_tpu.vocoder_io import load_vocoder
+
+
+def lines_to_list(filename):
+    with open(filename, encoding="utf-8") as f:
+        return [line.rstrip() for line in f]
+
+
+def frame_budget(n_frames, group_size, multiple=16):
+    m = multiple * group_size
+    return ((int(n_frames) + m - 1) // m) * m
+
+
+def infer(radtts_path, vocoder_path, vocoder_config_path, text_path,
+          speaker, speaker_text, speaker_attributes, sigma, sigma_tkndur,
+          sigma_f0, sigma_energy, f0_mean, f0_std, energy_mean, energy_std,
+          token_dur_scaling, denoising_strength, n_takes, output_dir,
+          use_amp, plot, seed, config):
+    model_config = config["model_config"]
+    data_config = config["data_config"]
+
+    vocoder, denoiser = load_vocoder(vocoder_path, vocoder_config_path)
+
+    params = radtts_init(jax.random.PRNGKey(0), model_config)
+    params, _ = load_any_radtts_checkpoint(radtts_path, model_config, params)
+    params = precompute_inverses(params)
+    print(f"Loaded checkpoint '{radtts_path}'")
+
+    ignore_keys = ["training_files", "validation_files"]
+    trainset = Data(data_config["training_files"],
+                    **{k: v for k, v in data_config.items()
+                       if k not in ignore_keys})
+
+    speaker_id = np.array([trainset.get_speaker_id(speaker)])
+    speaker_id_text = speaker_id
+    speaker_id_attributes = speaker_id
+    if speaker_text is not None:
+        speaker_id_text = np.array([trainset.get_speaker_id(speaker_text)])
+    if speaker_attributes is not None:
+        speaker_id_attributes = np.array(
+            [trainset.get_speaker_id(speaker_attributes)])
+
+    text_list = lines_to_list(text_path)
+    os.makedirs(output_dir, exist_ok=True)
+    rng = jax.random.PRNGKey(seed)
+    g = model_config["n_group_size"]
+    sr = data_config["sampling_rate"]
+
+    # jitted stages, specialized per (text length, frame budget) bucket
+    dur_fn = jax.jit(functools.partial(
+        infer_durations, sigma_dur=sigma_tkndur,
+        token_dur_scaling=token_dur_scaling, token_duration_max=100))
+
+    @functools.lru_cache(maxsize=32)
+    def decode_fn(max_frames):
+        def fn(params, vocoder, denoiser, rng, spk, spk_attr, text_ids,
+               dur):
+            out = radtts_infer(
+                params, rng, spk, text_ids, sigma, max_frames, dur=dur,
+                sigma_f0=sigma_f0, sigma_energy=sigma_energy,
+                speaker_id_attributes=spk_attr, f0_mean=f0_mean,
+                f0_std=f0_std, energy_mean=energy_mean,
+                energy_std=energy_std)
+            # replicate the last valid frame into the static padding so the
+            # vocoder's receptive field sees no garbage at the boundary
+            total = jnp.sum(dur, axis=1)
+            t = jnp.arange(max_frames)
+            idx = jnp.minimum(t[None, :], total[:, None] - 1)
+            mel = jnp.take_along_axis(out["mel"], idx[:, :, None], axis=1)
+            audio = hifigan_generator_apply(vocoder, mel)
+            audio = denoiser_apply(denoiser, audio,
+                                   strength=denoising_strength)
+            return out, audio
+        return jax.jit(fn)
+
+    for i, text in enumerate(text_list):
+        if text.startswith("#"):
+            continue
+        print(f"{i}/{len(text_list)}: {text}")
+        encoded = np.asarray(trainset.get_text(text))[None]
+        for take in range(n_takes):
+            rng, r_dur, r_dec = jax.random.split(rng, 3)
+            dur = dur_fn(params, r_dur, jnp.asarray(speaker_id_text),
+                         jnp.asarray(encoded))
+            total = int(jnp.sum(dur))
+            if total < 1:  # untrained/degenerate duration model guard
+                dur = dur.at[:, :].add(1)
+                total = int(jnp.sum(dur))
+            max_frames = frame_budget(total, g)
+            outputs, audio = decode_fn(max_frames)(
+                params, vocoder, denoiser, r_dec, jnp.asarray(speaker_id),
+                jnp.asarray(speaker_id_attributes), jnp.asarray(encoded),
+                dur)
+            n_samples_out = total * data_config["hop_length"]
+            audio_denoised = audio[:, :n_samples_out]
+            audio_denoised = np.asarray(audio_denoised)[0]
+            audio_denoised = audio_denoised / np.max(
+                np.abs(audio_denoised))
+
+            suffix_path = ("{}_{}_{}_durscaling{}_sigma{}_sigmatext{}_"
+                           "sigmaf0{}_sigmaenergy{}").format(
+                i, take, speaker, token_dur_scaling, sigma, sigma_tkndur,
+                sigma_f0, sigma_energy)
+            from scipy.io.wavfile import write
+            write("{}/{}_denoised_{}.wav".format(
+                output_dir, suffix_path, denoising_strength), sr,
+                audio_denoised.astype(np.float32))
+
+            if plot:
+                import matplotlib
+                matplotlib.use("Agg")
+                import matplotlib.pylab as plt
+                fig, axes = plt.subplots(2, 1, figsize=(10, 6))
+                axes[0].plot(np.asarray(outputs["f0"])[0], label="f0")
+                axes[1].plot(np.asarray(outputs["energy_avg"])[0],
+                             label="energy_avg")
+                for ax in axes:
+                    ax.legend(loc="best")
+                plt.tight_layout()
+                fig.savefig(f"{output_dir}/{suffix_path}_features.png")
+                plt.close("all")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument('-c', '--config', type=str, help='JSON file config')
+    parser.add_argument('-k', '--config_vocoder', type=str,
+                        help='vocoder JSON file config')
+    parser.add_argument('-p', '--params', nargs='+', default=[])
+    parser.add_argument('-r', '--radtts_path', type=str)
+    parser.add_argument('-v', '--vocoder_path', type=str)
+    parser.add_argument('-t', '--text_path', type=str)
+    parser.add_argument('-s', '--speaker', type=str)
+    parser.add_argument('--speaker_text', type=str, default=None)
+    parser.add_argument('--speaker_attributes', type=str, default=None)
+    parser.add_argument('-d', '--denoising_strength', type=float,
+                        default=0.0)
+    parser.add_argument('-o', "--output_dir", default="results")
+    parser.add_argument("--sigma", default=0.8, type=float)
+    parser.add_argument("--sigma_tkndur", default=0.666, type=float)
+    parser.add_argument("--sigma_f0", default=1.0, type=float)
+    parser.add_argument("--sigma_energy", default=1.0, type=float)
+    parser.add_argument("--f0_mean", default=0.0, type=float)
+    parser.add_argument("--f0_std", default=0.0, type=float)
+    parser.add_argument("--energy_mean", default=0.0, type=float)
+    parser.add_argument("--energy_std", default=0.0, type=float)
+    parser.add_argument("--token_dur_scaling", default=1.00, type=float)
+    parser.add_argument("--n_takes", default=1, type=int)
+    parser.add_argument("--use_amp", action="store_true")
+    parser.add_argument("--plot", action="store_true")
+    parser.add_argument("--seed", default=1234, type=int)
+    args = parser.parse_args()
+
+    with open(args.config) as f:
+        config = json.load(f)
+    update_params(config, args.params)
+
+    infer(args.radtts_path, args.vocoder_path, args.config_vocoder,
+          args.text_path, args.speaker, args.speaker_text,
+          args.speaker_attributes, args.sigma, args.sigma_tkndur,
+          args.sigma_f0, args.sigma_energy, args.f0_mean, args.f0_std,
+          args.energy_mean, args.energy_std, args.token_dur_scaling,
+          args.denoising_strength, args.n_takes, args.output_dir,
+          args.use_amp, args.plot, args.seed, config)

@@ -94,6 +94,53 @@ def _get_padding(kernel_size, dilation=1):
     return int((kernel_size * dilation - dilation) / 2)
 
 
+def hifigan_generator_init(key, h):
+    """Random init (normal(0, 0.01) convs like reference init_weights,
+    hifigan_utils.py:25-28) — used for benchmarks / vocoder fine-tuning."""
+    import numpy as np
+
+    def conv(key, in_ch, out_ch, k):
+        w = 0.01 * jax.random.normal(key, (k, in_ch, out_ch))
+        return {"w": w, "b": jnp.zeros((out_ch,))}
+
+    rates = h["upsample_rates"]
+    kernels = h["upsample_kernel_sizes"]
+    rk = h["resblock_kernel_sizes"]
+    rd = h["resblock_dilation_sizes"]
+    ch0 = h["upsample_initial_channel"]
+    keys = iter(jax.random.split(key, 4096))
+
+    params = {"conv_pre": conv(next(keys), 80, ch0, 7)}
+    ups, resblocks = [], []
+    for i, (u, k) in enumerate(zip(rates, kernels)):
+        cin = ch0 // (2 ** i)
+        cout = ch0 // (2 ** (i + 1))
+        ups.append(conv(next(keys), cin, cout, k))
+        group = []
+        for j, ksz in enumerate(rk):
+            if h["resblock"] == "1":
+                block = {"convs1": [conv(next(keys), cout, cout, ksz)
+                                    for _ in range(3)],
+                         "convs2": [conv(next(keys), cout, cout, ksz)
+                                    for _ in range(3)]}
+            else:
+                block = {"convs": [conv(next(keys), cout, cout, ksz)
+                                   for _ in range(2)]}
+            group.append(block)
+        resblocks.append(group)
+    params["ups"] = ups
+    params["resblocks"] = resblocks
+    params["conv_post"] = conv(next(keys), cout, 1, 7)
+    params["_meta"] = static(
+        upsample_rates=tuple(rates),
+        upsample_kernel_sizes=tuple(kernels),
+        resblock_kernel_sizes=tuple(rk),
+        resblock_dilation_sizes=tuple(tuple(d) for d in rd),
+        resblock=h["resblock"],
+    )
+    return params
+
+
 def hifigan_generator_from_torch(state_dict, h):
     """Build generator params from a torch state_dict + AttrDict config."""
     sd = _remap_legacy_keys(state_dict)
@@ -193,9 +240,14 @@ def denoiser_init(generator_params, filter_length=1024, n_overlap=4,
         mel_input = jax.random.normal(jax.random.PRNGKey(0), (1, 88, 80))
     else:
         raise ValueError(f"Mode {mode} not supported")
-    bias_audio = hifigan_generator_apply(generator_params, mel_input)
-    bias_spec, _ = stft_magnitude_phase(bias_audio, filter_length, hop,
-                                        win_length)
+
+    @jax.jit
+    def _bias(gen_params, mel):
+        audio = hifigan_generator_apply(gen_params, mel)
+        spec, _ = stft_magnitude_phase(audio, filter_length, hop, win_length)
+        return spec
+
+    bias_spec = _bias(generator_params, mel_input)
     return {"bias_spec": bias_spec[:, 0:1, :],
             "_meta": static(filter_length=filter_length, hop_length=hop,
                             win_length=win_length)}

@@ -41,7 +41,22 @@ from radtts_tpu.ops.static import static
 def radtts_init(key, model_config):
     """Build the params pytree from a reference-format model_config dict
     (reference: radtts.py:63-238 constructor semantics, including implicit
-    kwargs defaults)."""
+    kwargs defaults).
+
+    Init runs on the host CPU backend: it is hundreds of tiny eager ops, and
+    dispatching those one-by-one to a (possibly remote) TPU is pathologically
+    slow. Arrays move to the accelerator lazily on first use."""
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            return _radtts_init_impl(key, model_config)
+    return _radtts_init_impl(key, model_config)
+
+
+def _radtts_init_impl(key, model_config):
     cfg = dict(model_config)
     g = lambda name, default=None: cfg.get(name, default)
 

@@ -80,9 +80,12 @@ def inv1x1_inverse(params, x):
     return x @ W_inv.T.astype(x.dtype)
 
 
+@jax.jit
 def precompute_inverses(params):
     """Tree-walk: add 'w_inv' next to every invertible-1x1 param group
-    (replaces the reference's mutable W_inverse caching, common.py:413-423)."""
+    (replaces the reference's mutable W_inverse caching, common.py:413-423).
+    Jitted: one compiled program instead of per-op dispatch (matters when
+    the device sits behind a network tunnel)."""
     def walk(node):
         if isinstance(node, dict):
             out = {k: walk(v) for k, v in node.items()}

@@ -13,6 +13,7 @@ XLA fuses the window multiply and |.| into the surrounding ops. Inverse STFT
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.signal
@@ -22,16 +23,15 @@ from radtts_tpu.data.mel_filters import mel_filterbank
 
 @functools.lru_cache(maxsize=8)
 def hann_window(win_length, n_fft):
+    # cached as numpy (never cache arrays created under a jit trace)
     w = scipy.signal.get_window("hann", win_length, fftbins=True)
     lpad = (n_fft - win_length) // 2
-    w = np.pad(w, (lpad, n_fft - win_length - lpad))
-    return jnp.asarray(w, jnp.float32)
+    return np.pad(w, (lpad, n_fft - win_length - lpad)).astype(np.float32)
 
 
 @functools.lru_cache(maxsize=8)
 def mel_basis(sampling_rate, n_fft, n_mels, fmin, fmax):
-    return jnp.asarray(mel_filterbank(sampling_rate, n_fft, n_mels, fmin,
-                                      fmax))
+    return mel_filterbank(sampling_rate, n_fft, n_mels, fmin, fmax)
 
 
 def frame_signal(audio, n_fft, hop_length):
@@ -48,7 +48,7 @@ def stft_magnitude_phase(audio, n_fft=1024, hop_length=256, win_length=1024):
     """audio: (B, n) in [-1, 1]. Returns (magnitude, phase) each
     (B, T, n_fft//2+1)."""
     frames = frame_signal(audio, n_fft, hop_length)
-    w = hann_window(win_length, n_fft)
+    w = jnp.asarray(hann_window(win_length, n_fft))
     spec = jnp.fft.rfft(frames * w[None, None, :], axis=-1)
     mag = jnp.abs(spec).astype(jnp.float32)
     phase = jnp.angle(spec).astype(jnp.float32)
@@ -59,9 +59,12 @@ def istft(magnitude, phase, n_fft=1024, hop_length=256, win_length=1024):
     """Inverse STFT via irfft + overlap-add with window-sumsquare correction
     (reference: audio_processing.py:257-286). magnitude/phase: (B, T, F)."""
     B, T, _ = magnitude.shape
-    spec = magnitude * jnp.exp(1j * phase)
+    # build the complex spectrum via lax.complex (complex exp is not
+    # implemented by every TPU backend in eager mode)
+    spec = jax.lax.complex(magnitude * jnp.cos(phase),
+                           magnitude * jnp.sin(phase))
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # (B, T, n_fft)
-    w = hann_window(win_length, n_fft)
+    w = jnp.asarray(hann_window(win_length, n_fft))
     frames = frames * w[None, None, :]
 
     n = n_fft + hop_length * (T - 1)
@@ -89,8 +92,8 @@ def mel_spectrogram(audio, *, filter_length=1024, hop_length=256,
     """audio: (B, n) in [-1, 1] -> log-mel (B, T, n_mel)."""
     mag, _ = stft_magnitude_phase(audio, filter_length, hop_length,
                                   win_length)
-    basis = mel_basis(sampling_rate, filter_length, n_mel_channels,
-                      mel_fmin, mel_fmax)
+    basis = jnp.asarray(mel_basis(sampling_rate, filter_length,
+                                  n_mel_channels, mel_fmin, mel_fmax))
     mel = jnp.einsum("btf,mf->btm", mag, basis,
                      preferred_element_type=jnp.float32)
     return dynamic_range_compression(mel)

@@ -1,0 +1,444 @@
+"""Training loop: jitted DP train step over a jax.sharding Mesh, curriculum
+flags, freeze/warmstart/resume, TensorBoard logging, validation with optional
+audio sampling (behavior parity with reference train.py:43-455).
+
+TPU design:
+  * one jitted train step per (binarize, use_kl) curriculum combo; batch
+    arrays are sharded over the 'data' mesh axis, params replicated — XLA
+    inserts the gradient all-reduce over ICI (replaces the reference's
+    hand-rolled NCCL hooks, distributed.py:101-153);
+  * spectral-norm power iteration runs as a pure pre-grad tree update inside
+    the step (same math as torch's in-forward update);
+  * buffers (power-iteration vectors, LU permutation) are masked out of the
+    optimizer.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from radtts_tpu.losses import attention_binarization_loss, radtts_loss
+from radtts_tpu.models.radtts import radtts_forward, radtts_init
+from radtts_tpu.ops.lstm import spectral_norm_update
+from radtts_tpu.train.checkpoint import (flat_dict_to_tree,
+                                         load_any_radtts_checkpoint,
+                                         load_checkpoint, save_checkpoint,
+                                         tree_to_flat_dict, warmstart_filter)
+from radtts_tpu.train.optim import build_optimizer
+
+
+# ---------------------------------------------------------------------------
+# trainable-parameter masking (reference: train.py:74-97 unfreeze_modules,
+# train.py:332-338 finetune_layers)
+# ---------------------------------------------------------------------------
+
+_MODULE_SUBSTRINGS = {
+    "dur": ("dur_pred_layer",),
+    "f0": ("f0_pred_module",),
+    "energy": ("energy_pred_module",),
+    "vpred": ("v_pred_module", "v_embeddings"),
+    "unvbias": ("unvoiced_bias",),
+}
+
+_BUFFER_MARKERS = ("/sn_u", "/sn_v")
+
+
+def _is_buffer(path):
+    if any(path.endswith(m) for m in _BUFFER_MARKERS):
+        return True
+    # LU permutation factor of invertible 1x1 convs
+    if path.endswith("/p") and ("/inv/" in path or path.endswith("inv/p")):
+        return True
+    return False
+
+
+def build_trainable_mask(params, unfreeze_modules="all", finetune_layers=()):
+    flat = tree_to_flat_dict(params)
+    allowed_prefixes = None
+    if unfreeze_modules != "all":
+        allowed_prefixes = []
+        for key, prefixes in _MODULE_SUBSTRINGS.items():
+            if key in unfreeze_modules:
+                allowed_prefixes.extend(prefixes)
+
+    mask = {}
+    for path in flat:
+        ok = not _is_buffer(path)
+        if ok and allowed_prefixes is not None:
+            ok = any(path.startswith(p) for p in allowed_prefixes)
+        if ok and finetune_layers:
+            ok = any(l in path for l in finetune_layers)
+        mask[path] = ok
+    return flat_dict_to_tree(
+        jax.tree.map(lambda x: np.zeros((), bool), params),
+        {k: np.array(v) for k, v in mask.items()})
+
+
+def _apply_mask(tree, mask):
+    return jax.tree.map(
+        lambda x, m: jnp.where(m, x, jnp.zeros_like(x)), tree, mask)
+
+
+# ---------------------------------------------------------------------------
+# train step
+# ---------------------------------------------------------------------------
+
+
+def make_train_step(model_config, loss_weights, sigma, optimizer,
+                    trainable_mask):
+    n_group_size = model_config["n_group_size"]
+
+    def loss_fn(params, batch, rng, binarize, use_kl):
+        out = radtts_forward(
+            params, batch["mel"], batch["speaker_ids"], batch["text"],
+            batch["input_lengths"], batch["output_lengths"],
+            binarize_attention_flag=binarize,
+            attn_prior=batch.get("attn_prior"), f0=batch.get("f0"),
+            energy_avg=batch.get("energy_avg"),
+            voiced_mask=batch.get("voiced_mask"),
+            p_voiced=batch.get("p_voiced"), training=True, dropout_rng=rng)
+        loss_dict = radtts_loss(
+            out, batch["input_lengths"], batch["output_lengths"],
+            sigma=sigma, n_group_size=n_group_size,
+            dur_model_config=model_config.get("dur_model_config"),
+            f0_model_config=model_config.get("f0_model_config"),
+            energy_model_config=model_config.get("energy_model_config"),
+            vpred_model_config=model_config.get("v_model_config"),
+            loss_weights=loss_weights)
+        total = 0.0
+        for v, w in loss_dict.values():
+            if w > 0:
+                total = total + v * w
+        w_bin = loss_weights.get("binarization_loss_weight", 1.0)
+        if use_kl and binarize:
+            bin_loss = attention_binarization_loss(out["attn"],
+                                                   out["attn_soft"])
+            total = total + bin_loss * w_bin
+        else:
+            bin_loss = jnp.zeros(())
+        loss_dict = dict(loss_dict)
+        loss_dict["binarization_loss"] = (bin_loss, w_bin)
+        return total, loss_dict
+
+    def train_step(params, opt_state, batch, rng, binarize, use_kl):
+        params = spectral_norm_update(params)
+        (total, loss_dict), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, rng, binarize, use_kl)
+        grads = _apply_mask(grads, trainable_mask)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates = _apply_mask(updates, trainable_mask)
+        params = optax.apply_updates(params, updates)
+        grad_norm = optax.global_norm(grads)
+        return params, opt_state, total, loss_dict, grad_norm
+
+    return jax.jit(train_step, static_argnames=("binarize", "use_kl"),
+                   donate_argnums=(0, 1))
+
+
+def make_eval_step(model_config, loss_weights, sigma):
+    n_group_size = model_config["n_group_size"]
+
+    def eval_step(params, batch):
+        out = radtts_forward(
+            params, batch["mel"], batch["speaker_ids"], batch["text"],
+            batch["input_lengths"], batch["output_lengths"],
+            binarize_attention_flag=True,
+            attn_prior=batch.get("attn_prior"), f0=batch.get("f0"),
+            energy_avg=batch.get("energy_avg"),
+            voiced_mask=batch.get("voiced_mask"),
+            p_voiced=batch.get("p_voiced"), training=False)
+        loss_dict = radtts_loss(
+            out, batch["input_lengths"], batch["output_lengths"],
+            sigma=sigma, n_group_size=n_group_size,
+            dur_model_config=model_config.get("dur_model_config"),
+            f0_model_config=model_config.get("f0_model_config"),
+            energy_model_config=model_config.get("energy_model_config"),
+            vpred_model_config=model_config.get("v_model_config"),
+            loss_weights=loss_weights)
+        scalars = {k: v for k, (v, _) in loss_dict.items()}
+        return scalars, out["attn"], out["attn_soft"]
+
+    return jax.jit(eval_step)
+
+
+# ---------------------------------------------------------------------------
+# data/device plumbing
+# ---------------------------------------------------------------------------
+
+_BATCH_KEYS = ("mel", "speaker_ids", "text", "input_lengths",
+               "output_lengths", "attn_prior", "f0", "p_voiced",
+               "voiced_mask", "energy_avg")
+
+
+def make_mesh(devices=None):
+    devices = np.array(devices if devices is not None else jax.devices())
+    return Mesh(devices, ("data",))
+
+
+def shard_batch(batch, mesh):
+    sharded = {}
+    batch_sharding = NamedSharding(mesh, P("data"))
+    for k in _BATCH_KEYS:
+        v = batch.get(k)
+        if v is None:
+            continue
+        sharded[k] = jax.device_put(jnp.asarray(v), batch_sharding)
+    return sharded
+
+
+# ---------------------------------------------------------------------------
+# main training entry (reference: train.py:300-455)
+# ---------------------------------------------------------------------------
+
+
+def prepare_output_folder(output_directory, config):
+    os.makedirs(output_directory, exist_ok=True)
+    with open(os.path.join(output_directory, "config.json"), "w") as f:
+        json.dump(config, f, indent=4)
+    try:
+        from tensorboardX import SummaryWriter
+        return SummaryWriter(os.path.join(output_directory, "logs"))
+    except ImportError:
+        return None
+
+
+def train(config, output_directory, epochs, optim_algo, learning_rate,
+          weight_decay, sigma, iters_per_checkpoint, batch_size, seed,
+          checkpoint_path, ignore_layers, ignore_layers_warmstart,
+          include_layers, finetune_layers, warmstart_checkpoint_path,
+          use_amp, grad_clip_val, loss_weights, binarization_start_iter=-1,
+          kl_loss_start_iter=-1, unfreeze_modules="all", **kwargs):
+    import hashlib
+
+    from radtts_tpu.data.dataset import Data, DataCollate, DataLoader
+
+    data_config = config["data_config"]
+    model_config = config["model_config"]
+    train_config = config["train_config"]
+
+    if seed is None:
+        seed = int(hashlib.md5(
+            output_directory.encode()).hexdigest(), 16) % 2000
+    print(f"Using seed {seed}")
+
+    mesh = make_mesh()
+    n_devices = len(jax.devices())
+    assert batch_size % n_devices == 0 or n_devices == 1, (
+        f"batch_size {batch_size} not divisible by {n_devices} devices")
+
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+    params = radtts_init(init_rng, model_config)
+
+    optimizer = build_optimizer(optim_algo, learning_rate, weight_decay,
+                                grad_clip_val)
+    trainable_mask = build_trainable_mask(params, unfreeze_modules,
+                                          finetune_layers)
+    opt_state = optimizer.init(params)
+
+    iteration = 0
+    if warmstart_checkpoint_path:
+        params = warmstart(warmstart_checkpoint_path, params, model_config,
+                           include_layers, ignore_layers_warmstart)
+    if checkpoint_path:
+        params, opt_state_l, meta = resume(checkpoint_path, params,
+                                           opt_state, model_config)
+        if opt_state_l is not None:
+            opt_state = opt_state_l
+        iteration = meta["iteration"] + 1
+
+    train_step = make_train_step(model_config, loss_weights, sigma,
+                                 optimizer, trainable_mask)
+
+    ignore_keys = ["training_files", "validation_files"]
+    trainset = Data(data_config["training_files"],
+                    **{k: v for k, v in data_config.items()
+                       if k not in ignore_keys})
+    valset = Data(data_config["validation_files"],
+                  **{k: v for k, v in data_config.items()
+                     if k not in ignore_keys},
+                  speaker_ids=trainset.speaker_ids)
+    collate_fn = DataCollate()
+    train_loader = DataLoader(trainset, batch_size, collate_fn,
+                              shuffle=True, seed=seed)
+
+    logger = prepare_output_folder(output_directory, config)
+
+    epoch_offset = max(0, iteration // max(len(train_loader), 1))
+    for epoch in range(epoch_offset, epochs):
+        train_loader.set_epoch(epoch)
+        print(f"Epoch: {epoch}")
+        for batch in train_loader:
+            tic = time.time()
+            binarize = iteration >= binarization_start_iter
+            use_kl = binarize and iteration >= kl_loss_start_iter
+            rng, step_rng = jax.random.split(rng)
+            sharded = shard_batch(batch, mesh)
+            params, opt_state, total, loss_dict, grad_norm = train_step(
+                params, opt_state, sharded, step_rng, binarize, use_kl)
+
+            total = float(total)
+            toc = time.time()
+            print_list = [f"iter: {iteration}  ({toc - tic:.2f} s)  |  "
+                          f"lr: {learning_rate}"]
+            for k, (v, w) in loss_dict.items():
+                v = float(v)
+                print_list.append(f"  |  {k}: {v:.3f}")
+                if logger is not None:
+                    logger.add_scalar("train/" + k, v, iteration)
+            if logger is not None:
+                logger.add_scalar("train/grad_norm", float(grad_norm),
+                                  iteration)
+            print("".join(print_list), flush=True)
+
+            if iteration > -1 and iteration % iters_per_checkpoint == 0:
+                val_losses = compute_validation_loss(
+                    iteration, params, model_config, loss_weights, sigma,
+                    valset, collate_fn, batch_size, mesh, logger=logger,
+                    train_config=train_config,
+                    sampling_rate=data_config["sampling_rate"])
+                ckpt = os.path.join(output_directory, f"model_{iteration}")
+                save_checkpoint(ckpt, params, opt_state, iteration,
+                                learning_rate)
+                print("Validation loss:", val_losses)
+            iteration += 1
+    return params
+
+
+def warmstart(path, params, model_config, include_layers=(),
+              ignore_layers_warmstart=()):
+    """Partial load with substring filters (reference: train.py:159-176)."""
+    loaded, _ = load_any_radtts_checkpoint(path, model_config, params)
+    flat = tree_to_flat_dict(loaded)
+    filt = warmstart_filter(include_layers, ignore_layers_warmstart)
+    params = flat_dict_to_tree(params, flat, strict=False, filter_fn=filt)
+    print(f"Warm started from {path}")
+    return params
+
+
+def resume(path, params, opt_state, model_config):
+    from radtts_tpu.train.checkpoint import is_torch_checkpoint
+    if is_torch_checkpoint(path):
+        params, meta = load_any_radtts_checkpoint(path, model_config, params)
+        return params, None, meta
+    params, opt_state, meta = load_checkpoint(path, params, opt_state)
+    print(f"Loaded checkpoint '{path}' (iteration {meta['iteration']})")
+    return params, opt_state, meta
+
+
+def compute_validation_loss(iteration, params, model_config, loss_weights,
+                            sigma, valset, collate_fn, batch_size, mesh,
+                            logger=None, train_config=None,
+                            sampling_rate=22050):
+    """(reference: train.py:200-297) full-val-set losses under binarized
+    attention; attention images + optional audio samples to TensorBoard."""
+    from radtts_tpu.data.dataset import DataLoader
+
+    eval_step = make_eval_step(model_config, loss_weights, sigma)
+    val_loader = DataLoader(valset, batch_size, collate_fn, shuffle=False,
+                            drop_last=False)
+    totals = {}
+    n_batches = max(len(val_loader), 1)
+    attn = attn_soft = None
+    last_batch = None
+    for batch in val_loader:
+        sharded = shard_batch(batch, mesh)
+        scalars, attn, attn_soft = eval_step(params, sharded)
+        for k, v in scalars.items():
+            totals[k] = totals.get(k, 0.0) + float(v) / n_batches
+        last_batch = batch
+
+    if logger is not None:
+        for k, v in totals.items():
+            logger.add_scalar("val/" + k, v, iteration)
+        if attn is not None and last_batch is not None:
+            from radtts_tpu.plotting import plot_alignment_to_numpy
+            audioname = os.path.basename(last_batch["audiopaths"][0])
+            logger.add_image(
+                "attention_weights",
+                plot_alignment_to_numpy(
+                    np.asarray(attn_soft)[0].T, title=audioname),
+                iteration, dataformats="HWC")
+            logger.add_image(
+                "attention_weights_mas",
+                plot_alignment_to_numpy(np.asarray(attn)[0].T,
+                                        title=audioname),
+                iteration, dataformats="HWC")
+        if train_config is not None:
+            _log_audio_samples(iteration, params, model_config,
+                               train_config, last_batch, attn, logger,
+                               sampling_rate)
+    return totals
+
+
+def _log_audio_samples(iteration, params, model_config, train_config,
+                       batch, attn, logger, sampling_rate):
+    """Synthesize samples at several attribute sigmas through the vocoder
+    (reference: train.py:247-295). Skipped when no vocoder is configured."""
+    voc_ckpt = train_config.get("vocoder_checkpoint_path", "")
+    voc_cfg = train_config.get("vocoder_config_path", "")
+    if not (voc_ckpt and voc_cfg and os.path.exists(voc_ckpt)
+            and os.path.exists(voc_cfg)):
+        return
+    try:
+        from radtts_tpu.models.radtts import (is_attribute_unconditional,
+                                              radtts_infer)
+        from radtts_tpu.vocoder_io import load_vocoder
+
+        vocoder, denoiser = load_vocoder(voc_ckpt, voc_cfg)
+        attribute_sigmas = []
+        if train_config.get("log_decoder_samples"):
+            attribute_sigmas.append(-1)
+        if train_config.get("log_attribute_samples"):
+            if is_attribute_unconditional(params["_meta"]):
+                attribute_sigmas.extend([1.0])
+            else:
+                attribute_sigmas.extend([0.1, 0.5, 0.8, 1.0])
+        if not attribute_sigmas:
+            return
+        durations = np.asarray(attn)[0].sum(0)
+        durations = np.floor(durations + 0.5).astype(np.int32)
+        g = model_config["n_group_size"]
+        total = int(durations.sum())
+        max_frames = ((total + 16 * g - 1) // (16 * g)) * 16 * g
+        from radtts_tpu.models.hifigan import (denoiser_apply,
+                                               hifigan_generator_apply)
+        for attribute_sigma in attribute_sigmas:
+            try:
+                kwargs = {}
+                if attribute_sigma <= 0:
+                    kwargs = dict(
+                        f0=jnp.asarray(batch["f0"][:1, :max_frames]),
+                        energy_avg=jnp.asarray(
+                            batch["energy_avg"][:1, :max_frames]),
+                        voiced_mask=jnp.asarray(
+                            batch["voiced_mask"][:1, :max_frames]))
+                else:
+                    kwargs = dict(sigma_f0=attribute_sigma,
+                                  sigma_energy=attribute_sigma)
+                out = radtts_infer(
+                    params, jax.random.PRNGKey(iteration),
+                    jnp.asarray(batch["speaker_ids"][:1]),
+                    jnp.asarray(batch["text"][:1]), 0.8, max_frames,
+                    dur=jnp.asarray(durations)[None], **kwargs)
+                mel = out["mel"][:, :total]
+                audio = hifigan_generator_apply(vocoder, mel)
+                audio = denoiser_apply(denoiser, audio, strength=1e-5)
+                audio = np.asarray(audio)[0]
+                audio = audio / max(np.abs(audio).max(), 1e-5)
+                tag = ("decoder_sample_gt_attributes"
+                       if attribute_sigma < 0 else
+                       f"sample_attribute_sigma_{attribute_sigma}")
+                logger.add_audio(tag, audio, iteration, sampling_rate)
+            except Exception as exc:  # instability guard (train.py:282-284)
+                print("Instability or issue occured during inference, "
+                      "skipping sample generation for TB logger", exc)
+                continue
+    except Exception as exc:
+        print("vocoder logging skipped:", exc)

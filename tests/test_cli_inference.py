@@ -1,0 +1,105 @@
+"""End-to-end CLI drive: build a (reduced-size) reference torch checkpoint +
+HiFi-GAN vocoder checkpoint on disk, then run `python inference.py` with
+config overrides and check a finite, non-silent wav comes out."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import torch
+from scipy.io import wavfile
+
+from tests.ref_utils import install_reference
+
+install_reference()
+
+HIFIGAN_SMALL = {
+    "resblock": "1",
+    "upsample_rates": [8, 8, 2, 2],
+    "upsample_kernel_sizes": [16, 16, 4, 4],
+    "upsample_initial_channel": 64,
+    "resblock_kernel_sizes": [3, 7, 11],
+    "resblock_dilation_sizes": [[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+    "gaussian_blur": {"p_blurring": 0.0},
+}
+
+SHRINK = {
+    "n_text_dim": 64,
+    "n_hidden": 32,
+    "n_flows": 4,
+    "mel_encoder_n_hidden": 64,
+    "n_mel_channels": 80,
+}
+
+
+@pytest.mark.slow
+def test_inference_cli_end_to_end(tmp_path):
+    from hifigan_env import AttrDict
+    from hifigan_models import Generator
+    from radtts import RADTTS as RefRADTTS
+
+    # --- model config: config_ljs_dap shrunk
+    with open("configs/config_ljs_dap.json") as f:
+        config = json.load(f)
+    mc = config["model_config"]
+    mc.update(SHRINK)
+    for key in ("dur_model_config", "f0_model_config",
+                "energy_model_config", "v_model_config"):
+        mc[key]["hparams"]["bottleneck_hparams"]["in_dim"] = 64
+        mc[key]["hparams"]["arch_hparams"]["n_channels"] = 32
+
+    # --- torch checkpoints on disk
+    torch.manual_seed(0)
+    ref = RefRADTTS(**mc)
+    from tests.ref_utils import converge_spectral_norms
+    converge_spectral_norms(ref)
+    radtts_ckpt = tmp_path / "radtts_ckpt.pt"
+    torch.save({"state_dict": ref.state_dict(), "iteration": 10,
+                "learning_rate": 1e-4}, radtts_ckpt)
+
+    voc = Generator(AttrDict(dict(HIFIGAN_SMALL)))
+    voc_ckpt = tmp_path / "hifigan.pt"
+    torch.save({"generator": voc.state_dict()}, voc_ckpt)
+    voc_cfg = tmp_path / "hifigan_config.json"
+    voc_cfg.write_text(json.dumps(HIFIGAN_SMALL))
+
+    # --- tiny filelist (inference only reads it for the speaker table)
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    sr = 22050
+    wavfile.write(wav_dir / "a.wav", sr,
+                  (0.1 * np.sin(np.arange(sr) / 30)).astype(np.float32))
+    (tmp_path / "list.txt").write_text("a.wav|hello there|ljs\n")
+
+    sentences = tmp_path / "sentences.txt"
+    sentences.write_text("The quick brown fox jumps over the lazy dog.\n")
+
+    cfg_path = tmp_path / "config.json"
+    config["data_config"]["training_files"] = {
+        "LJS": {"basedir": str(tmp_path), "audiodir": "wavs",
+                "filelist": "list.txt", "lmdbpath": ""}}
+    config["data_config"]["validation_files"] = config["data_config"][
+        "training_files"]
+    config["data_config"]["betabinom_cache_path"] = str(tmp_path / "cache")
+    cfg_path.write_text(json.dumps(config))
+
+    out_dir = tmp_path / "results"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    result = subprocess.run(
+        [sys.executable, "inference.py", "-c", str(cfg_path),
+         "-r", str(radtts_ckpt), "-v", str(voc_ckpt),
+         "-k", str(voc_cfg), "-t", str(sentences), "-s", "ljs",
+         "-o", str(out_dir), "--seed", "7"],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert result.returncode == 0, result.stderr[-4000:]
+
+    wavs = list(out_dir.glob("*.wav"))
+    assert wavs, result.stdout[-2000:]
+    sr_out, audio = wavfile.read(wavs[0])
+    assert sr_out == 22050
+    assert np.isfinite(audio).all()
+    assert len(audio) > 22050 * 0.2  # at least 0.2 s
+    assert np.abs(audio).max() > 1e-4  # not silence

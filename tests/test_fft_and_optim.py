@@ -1,0 +1,63 @@
+"""FFTransformer parity (DAP use_transformer backbone) and RAdam parity vs
+the reference optimizer implementation."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tests.ref_utils import install_reference
+
+install_reference()
+
+from radam import RAdam as RefRAdam  # noqa: E402
+from transformer import FFTransformer as RefFFT  # noqa: E402
+
+from radtts_tpu.convert import fft_from_torch  # noqa: E402
+from radtts_tpu.models.fftransformer import fft_apply, fft_init  # noqa
+from radtts_tpu.train.optim import radam  # noqa: E402
+
+
+def test_fftransformer_parity():
+    torch.manual_seed(0)
+    B, T, C = 2, 13, 32
+    ref = RefFFT(in_dim=C, out_dim=1, n_layers=2, n_head=2, d_head=8,
+                 d_inner=64, kernel_size=3, dropout=0.1, dropatt=0.1).eval()
+    x = torch.randn(B, C, T)
+    lens = torch.tensor([13, 8])
+    with torch.no_grad():
+        y_ref = ref(x, lens)
+
+    tmpl = fft_init(jax.random.PRNGKey(0), in_dim=C, out_dim=1, n_layers=2,
+                    n_head=2, d_head=8, d_inner=64, kernel_size=3)
+    params = fft_from_torch(ref.state_dict(), "", tmpl)
+    y = fft_apply(params, jnp.asarray(x.numpy().transpose(0, 2, 1)),
+                  jnp.asarray(lens.numpy()))
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1),
+                               y_ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_radam_parity():
+    torch.manual_seed(1)
+    w_t = torch.nn.Parameter(torch.randn(5, 3))
+    opt = RefRAdam([w_t], lr=1e-3, weight_decay=1e-2)
+
+    # .copy(): jnp.asarray zero-copies CPU numpy buffers, and torch's
+    # in-place opt.step() would mutate the aliased memory under JAX
+    w_j = jnp.asarray(w_t.detach().numpy().copy())
+    opt_j = radam(1e-3, weight_decay=1e-2)
+    state = opt_j.init(w_j)
+
+    for step in range(8):
+        torch.manual_seed(100 + step)
+        g = torch.randn(5, 3)
+        w_t.grad = g.clone()
+        opt.step()
+
+        updates, state = opt_j.update(jnp.asarray(g.numpy()), state, w_j)
+        w_j = w_j + updates
+
+        np.testing.assert_allclose(np.asarray(w_j),
+                                   w_t.detach().numpy(), rtol=1e-5,
+                                   atol=1e-6, err_msg=f"step {step}")

@@ -1,0 +1,167 @@
+"""End-to-end smoke: synthetic dataset -> loader -> jitted train steps
+(both curriculum phases) -> checkpoint save/load -> warmstart filters."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+import jax
+import jax.numpy as jnp
+
+from radtts_tpu.data.dataset import Data, DataCollate, DataLoader
+from radtts_tpu.models.radtts import radtts_init
+from radtts_tpu.train.checkpoint import (load_checkpoint, save_checkpoint,
+                                         tree_to_flat_dict)
+from radtts_tpu.train.optim import build_optimizer
+from radtts_tpu.train.trainer import (build_trainable_mask, make_eval_step,
+                                      make_mesh, make_train_step,
+                                      shard_batch)
+from tests.small_model import MODEL_CONFIG
+
+SR = 22050
+
+DATA_CONFIG = {
+    "dur_min": 0.05, "dur_max": 10.0,
+    "sampling_rate": SR, "filter_length": 1024, "hop_length": 256,
+    "win_length": 1024, "n_mel_channels": MODEL_CONFIG["n_mel_channels"],
+    "mel_fmin": 0.0, "mel_fmax": 8000.0, "f0_min": 80.0, "f0_max": 640.0,
+    "max_wav_value": 32768.0, "use_f0": True, "use_log_f0": False,
+    "use_energy_avg": True, "use_scaled_energy": True,
+    "symbol_set": "radtts", "cleaner_names": ["radtts_cleaners"],
+    "heteronyms_path": "radtts_tpu/text/assets/heteronyms",
+    "phoneme_dict_path": "radtts_tpu/text/assets/cmudict-0.7b",
+    "p_phoneme": 1.0, "handle_phoneme": "word",
+    "handle_phoneme_ambiguous": "ignore", "include_speakers": None,
+    "n_frames": -1, "use_attn_prior_masking": True,
+    "prepend_space_to_text": True, "append_space_to_text": True,
+    "add_bos_eos_to_text": False, "betabinom_scaling_factor": 1.0,
+    "distance_tx_unvoiced": False, "mel_noise_scale": 0.0,
+}
+
+TEXTS = ["The cat sat.", "A big dog ran fast!", "Hello world again.",
+         "Testing one two three."]
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    wav_dir = root / "wavs"
+    wav_dir.mkdir()
+    rng = np.random.default_rng(0)
+    rows = []
+    for i, text in enumerate(TEXTS):
+        dur_s = 0.4 + 0.1 * i
+        t = np.arange(int(SR * dur_s)) / SR
+        f = 150 + 30 * i
+        y = 0.4 * np.sin(2 * np.pi * f * t)
+        y += 0.02 * rng.standard_normal(len(t))
+        wav = (y * 32767).astype(np.int16)
+        name = f"utt{i}.wav"
+        wavfile.write(wav_dir / name, SR, wav)
+        spk = "spk0" if i % 2 == 0 else "spk1"
+        rows.append(f"{name}|{text}|{spk}")
+    (root / "train.txt").write_text("\n".join(rows[:3]) + "\n")
+    (root / "val.txt").write_text(rows[3] + "\n")
+    cache = root / "cache"
+    cache.mkdir()
+    return root, cache
+
+
+def _make_data(root, cache, filelist):
+    return Data({"TINY": {"basedir": str(root), "audiodir": "wavs",
+                          "filelist": filelist, "lmdbpath": ""}},
+                betabinom_cache_path=str(cache), lmdb_cache_path="",
+                **DATA_CONFIG)
+
+
+def test_dataset_and_collate(tiny_dataset):
+    root, cache = tiny_dataset
+    ds = _make_data(root, cache, "train.txt")
+    sample = ds[0]
+    assert sample["mel"].ndim == 2 and sample["mel"].shape[1] == 20
+    assert sample["f0"].shape[0] >= sample["mel"].shape[0] - 2
+    assert sample["attn_prior"].shape[0] == sample["mel"].shape[0]
+
+    collate = DataCollate()
+    batch = collate([ds[i] for i in range(3)])
+    assert batch["mel"].shape[0] == 3
+    assert batch["mel"].shape[1] % 16 == 0
+    assert batch["text"].shape[1] % 16 == 0
+    # descending text lengths (encoder packing contract)
+    assert (np.diff(batch["input_lengths"]) <= 0).all()
+
+
+MODEL_CONFIG_TRAIN = dict(MODEL_CONFIG, n_speakers=2)
+
+LOSS_WEIGHTS = {"blank_logprob": -1, "ctc_loss_weight": 0.1,
+                "binarization_loss_weight": 1.0, "dur_loss_weight": 1.0,
+                "f0_loss_weight": 1.0, "energy_loss_weight": 1.0,
+                "vpred_loss_weight": 1.0}
+
+
+def test_train_steps_and_checkpoint(tiny_dataset, tmp_path):
+    root, cache = tiny_dataset
+    ds = _make_data(root, cache, "train.txt")
+    loader = DataLoader(ds, 2, DataCollate(), shuffle=True, seed=0,
+                        num_workers=2)
+    batch = next(iter(loader))
+
+    params = radtts_init(jax.random.PRNGKey(0), MODEL_CONFIG_TRAIN)
+    optimizer = build_optimizer("RAdam", 1e-4, 1e-6, 1.0)
+    mask = build_trainable_mask(params, "all", ())
+    opt_state = optimizer.init(params)
+    step = make_train_step(MODEL_CONFIG_TRAIN, LOSS_WEIGHTS, 1.0, optimizer,
+                           mask)
+
+    mesh = make_mesh(jax.devices()[:2])
+    sharded = shard_batch(batch, mesh)
+    rng = jax.random.PRNGKey(1)
+
+    losses = []
+    for i in range(3):
+        binarize = i >= 1
+        use_kl = i >= 2
+        rng, sub = jax.random.split(rng)
+        params, opt_state, total, loss_dict, gn = step(
+            params, opt_state, sharded, sub, binarize, use_kl)
+        total = float(total)
+        assert np.isfinite(total), (i, {k: float(v)
+                                        for k, (v, w) in loss_dict.items()})
+        losses.append(total)
+    assert np.isfinite(float(gn))
+
+    # eval step
+    eval_step = make_eval_step(MODEL_CONFIG_TRAIN, LOSS_WEIGHTS, 1.0)
+    scalars, attn, attn_soft = eval_step(params, sharded)
+    assert all(np.isfinite(float(v)) for v in scalars.values())
+
+    # checkpoint roundtrip
+    ckpt = str(tmp_path / "model_3")
+    save_checkpoint(ckpt, params, opt_state, 3, 1e-4)
+    params2, opt_state2, meta = load_checkpoint(ckpt, params, opt_state)
+    assert meta["iteration"] == 3
+    flat_a = tree_to_flat_dict(params)
+    flat_b = tree_to_flat_dict(params2)
+    for k in flat_a:
+        np.testing.assert_array_equal(flat_a[k], flat_b[k])
+
+
+def test_trainable_mask_freezing():
+    params = radtts_init(jax.random.PRNGKey(0), MODEL_CONFIG_TRAIN)
+    mask = build_trainable_mask(params, "durf0", ())
+    flat = tree_to_flat_dict(mask)
+    assert flat["dur_pred_layer/bottleneck/proj/b"]
+    assert flat["f0_pred_module/bottleneck/proj/b"]
+    assert not flat["energy_pred_module/bottleneck/proj/b"]
+    assert not flat["embedding/table"]
+    # buffers never trainable
+    assert not flat["flows/0/inv/p"]
+    assert not flat["encoder/lstm/fwd/hh/sn_u"]
+
+    mask_all = build_trainable_mask(params, "all", ())
+    flat_all = tree_to_flat_dict(mask_all)
+    assert flat_all["embedding/table"]
+    assert not flat_all["flows/0/inv/p"]

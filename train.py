@@ -1,0 +1,41 @@
+#!/usr/bin/env python
+"""Training CLI (same public surface as the reference train.py:458-498:
+`python train.py -c config.json -p key=value ...`).
+
+Data parallelism runs over all visible TPU devices via a jax.sharding Mesh;
+no RANK/WORLD_SIZE launcher is needed (single process drives all local
+chips). RANK/WORLD_SIZE env vars are still honored for multi-host dataset
+sharding.
+"""
+
+import argparse
+import json
+import os
+
+from radtts_tpu.config import update_params
+from radtts_tpu.train.trainer import train
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument('-c', '--config', type=str,
+                        help='JSON file for configuration')
+    parser.add_argument('-p', '--params', nargs='+', default=[])
+    args = parser.parse_args()
+
+    with open(args.config) as f:
+        config = json.load(f)
+    update_params(config, args.params)
+    print(config)
+
+    train_config = config["train_config"]
+
+    if ('n_aug_dims' in config["model_config"]
+            and 'aug_probabilities' in config["data_config"]):
+        assert (config["model_config"]['n_aug_dims']
+                >= len(config["data_config"]['aug_probabilities']))
+
+    rank = int(os.getenv('RANK', '0'))
+    world = int(os.getenv('WORLD_SIZE', '1'))
+    print(f'> got rank {rank} and world size {world} ...')
+
+    train(config, **train_config)
