@@ -87,15 +87,18 @@ def main():
     rng = jax.random.PRNGKey(2)
     text_ids = jnp.asarray(encoded)
 
+    n_iters = 10
+    # pre-split keys OUTSIDE the timing loop: eager per-iteration key ops
+    # cost a full host<->device round trip each
+    keys = list(jax.random.split(rng, n_iters))
+
     # compile + warmup
-    audio = synthesize(params, vocoder, denoiser, rng, text_ids)
+    audio = synthesize(params, vocoder, denoiser, keys[0], text_ids)
     audio.block_until_ready()
 
-    n_iters = 10
     tic = time.perf_counter()
     for i in range(n_iters):
-        audio = synthesize(params, vocoder, denoiser,
-                           jax.random.fold_in(rng, i), text_ids)
+        audio = synthesize(params, vocoder, denoiser, keys[i], text_ids)
     audio.block_until_ready()
     elapsed = (time.perf_counter() - tic) / n_iters
 

@@ -2,6 +2,7 @@
 possessive-suffix handling) -> symbol ids (behavior parity with reference
 tts_text_processing/text_processing.py:29-185)."""
 
+import os
 import re
 
 import numpy as np
@@ -16,6 +17,18 @@ _words_re = re.compile(
     r"|([{][^}]+[}]|[^a-zA-ZÀ-ž{}]+)")
 
 
+def resolve_asset(path):
+    """Config asset paths are repo-relative ('radtts_tpu/text/assets/...');
+    resolve them against the package root when the CWD is elsewhere."""
+    if path and not os.path.exists(path):
+        root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        cand = os.path.join(root, path)
+        if os.path.exists(cand):
+            return cand
+    return path
+
+
 def lines_to_list(filename):
     with open(filename, encoding="utf-8") as f:
         return [line.rstrip() for line in f]
@@ -27,6 +40,8 @@ class TextProcessing:
                  handle_phoneme_ambiguous, prepend_space_to_text=False,
                  append_space_to_text=False, add_bos_eos_to_text=False,
                  encoding="latin-1"):
+        heteronyms_path = resolve_asset(heteronyms_path)
+        phoneme_dict_path = resolve_asset(phoneme_dict_path)
         if heteronyms_path:
             self.heteronyms = set(lines_to_list(heteronyms_path))
         else:

@@ -32,17 +32,23 @@ def test_dp_matches_single_device():
     step = make_train_step(cfg, _LOSS_WEIGHTS, 1.0, optimizer, mask)
     rng = jax.random.PRNGKey(0)
 
+    # deep copies per mesh: the train step donates params/opt_state, and
+    # device_put to an identical sharding aliases rather than copies
+    import jax.numpy as jnp
+
+    def fresh(tree, mesh):
+        return replicate(jax.tree.map(jnp.copy, tree), mesh)
+
     # single device
     mesh1 = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
-    p1 = replicate(params, mesh1)
-    o1 = replicate(opt_state, mesh1)
-    b1 = jax.device_put(batch, None)
+    p1 = fresh(params, mesh1)
+    o1 = fresh(opt_state, mesh1)
     _, _, loss1, _, gn1 = step(p1, o1, batch, rng, True, False)
 
     # 4-way DP
     mesh4 = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
-    p4 = replicate(params, mesh4)
-    o4 = replicate(opt_state, mesh4)
+    p4 = fresh(params, mesh4)
+    o4 = fresh(opt_state, mesh4)
     b4 = jax.device_put(batch, batch_shardings(batch, mesh4))
     _, _, loss4, _, gn4 = step(p4, o4, b4, rng, True, False)
 

@@ -67,6 +67,18 @@ def test_stft_and_mel_parity():
                                mel_ref.numpy(), rtol=1e-3, atol=2e-3)
 
 
+def test_pallas_mel_matches_jnp_path():
+    # interpreter mode on CPU; the same kernel code runs compiled on TPU
+    from radtts_tpu.ops.pallas_mel import mel_spectrogram_pallas
+    rng = np.random.default_rng(7)
+    audio = jnp.asarray(rng.uniform(-0.8, 0.8, (2, 9000)).astype(np.float32))
+    ref = mel_spectrogram(audio)
+    out = mel_spectrogram_pallas(audio, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_istft_roundtrip():
     torch.manual_seed(2)
     audio = (torch.rand(1, 4096) * 1.6 - 0.8).numpy()
