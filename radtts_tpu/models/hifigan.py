@@ -201,6 +201,46 @@ def _resblock2_apply(block, x, kernel_size, dilations):
     return x
 
 
+def gaussian_blur_kernels(kernel_size, sigmas):
+    """Normalized 2D gaussian kernels, one per sigma
+    (reference: hifigan_models.py:34-69). Returns (n_sigmas, kh, kw) fp32."""
+    import numpy as np
+
+    kh, kw = kernel_size
+    gy = np.arange(kh, dtype=np.float32)[:, None]
+    gx = np.arange(kw, dtype=np.float32)[None, :]
+    kernels = []
+    for s in sigmas:
+        k = (np.exp(-(((gy - (kh - 1) / 2) / s) ** 2) / 2)
+             * np.exp(-(((gx - (kw - 1) / 2) / s) ** 2) / 2))
+        kernels.append(k / k.sum())
+    return jnp.asarray(np.stack(kernels))
+
+
+def gaussian_blur_augmentation(rng, mel, kernel_size=(5, 5),
+                               sigmas=(0.1, 0.5, 1.0), p_blurring=0.0):
+    """With probability p_blurring, blur the (B, T, n_mel) mel with a
+    randomly chosen gaussian kernel (reference: hifigan_models.py:71-80;
+    used on the generator's input mel during vocoder fine-tuning). Pure
+    function of the rng key; jit-friendly."""
+    import jax.random
+
+    if p_blurring <= 0.0:
+        return mel
+    k_rng, p_rng = jax.random.split(rng)
+    kernels = gaussian_blur_kernels(kernel_size, sigmas)
+    i = jax.random.randint(k_rng, (), 0, kernels.shape[0])
+    kernel = kernels[i][None, None]  # (1, 1, kh, kw) OIHW
+    pad = (kernel_size[0] - 1) // 2
+    x = jnp.pad(mel[:, None], ((0, 0), (0, 0), (pad, pad), (pad, pad)),
+                mode="reflect")
+    blurred = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
+    return jnp.where(jax.random.uniform(p_rng, ()) > p_blurring, mel,
+                     blurred)
+
+
 def hifigan_generator_apply(params, mel):
     """mel: (B, T, 80) -> waveform (B, T * prod(upsample_rates))."""
     meta = params["_meta"]

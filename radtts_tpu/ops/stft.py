@@ -82,6 +82,26 @@ def istft(magnitude, phase, n_fft=1024, hop_length=256, win_length=1024):
     return sig[:, pad:-pad]
 
 
+def griffin_lim(rng, magnitudes, n_iters=30, n_fft=1024, hop_length=256,
+                win_length=1024):
+    """Phase reconstruction from magnitudes (B, T, F) by iterated
+    stft/istft projection (reference: audio_processing.py:79-95 — random
+    initial phase, n_iters refinement rounds). Jit-friendly via lax.scan."""
+    import jax.random
+
+    phase = jax.random.uniform(rng, magnitudes.shape, jnp.float32,
+                               -np.pi, np.pi)
+    signal = istft(magnitudes, phase, n_fft, hop_length, win_length)
+
+    def body(signal, _):
+        _, ang = stft_magnitude_phase(signal, n_fft, hop_length, win_length)
+        ang = ang[:, :magnitudes.shape[1]]
+        return istft(magnitudes, ang, n_fft, hop_length, win_length), None
+
+    signal, _ = jax.lax.scan(body, signal, None, length=n_iters)
+    return signal
+
+
 def dynamic_range_compression(x, C=1.0, clip_val=1e-5):
     return jnp.log(jnp.clip(x, clip_val) * C)
 
