@@ -69,7 +69,12 @@ def main():
     assert max_frames % (16 * g) == 0
 
     @jax.jit
-    def synthesize(params, vocoder, denoiser, rng, text_ids):
+    def synthesize(params, vocoder, denoiser, rng, text_ids, chain):
+        # `chain` is a scalar derived from the previous iteration's audio;
+        # folding it into the key makes iterations data-dependent so they
+        # serialize on-device even if block_until_ready is a no-op (the
+        # tunneled backend has been observed to return from it immediately)
+        rng = jax.random.fold_in(rng, chain.astype(jnp.int32) & 0)
         r_dur, r_dec = jax.random.split(rng)
         dur = infer_durations(params, r_dur, speaker, text_ids,
                               sigma_dur=0.666)
@@ -82,7 +87,7 @@ def main():
                            sigma_energy=1.0)
         audio = hifigan_generator_apply(vocoder, out["mel"])
         audio = denoiser_apply(denoiser, audio, strength=0.01)
-        return audio
+        return audio, jnp.sum(audio[:, :8])
 
     rng = jax.random.PRNGKey(2)
     text_ids = jnp.asarray(encoded)
@@ -92,15 +97,26 @@ def main():
     # cost a full host<->device round trip each
     keys = list(jax.random.split(rng, n_iters))
 
-    # compile + warmup
-    audio = synthesize(params, vocoder, denoiser, keys[0], text_ids)
-    audio.block_until_ready()
+    # compile + warmup; sync via scalar host transfer (authoritative even
+    # where block_until_ready does not actually block)
+    chain = jnp.zeros((), jnp.float32)
+    audio, chain = synthesize(params, vocoder, denoiser, keys[0], text_ids,
+                              chain)
+    float(chain)
+
+    # measure the scalar-sync round-trip itself so it can be subtracted
+    # (one tiny eager op + host transfer, same shape as the loop's sync)
+    t0 = time.perf_counter()
+    for i in range(3):
+        float(chain + jnp.float32(i))
+    sync_rt = (time.perf_counter() - t0) / 3
 
     tic = time.perf_counter()
     for i in range(n_iters):
-        audio = synthesize(params, vocoder, denoiser, keys[i], text_ids)
-    audio.block_until_ready()
-    elapsed = (time.perf_counter() - tic) / n_iters
+        audio, chain = synthesize(params, vocoder, denoiser, keys[i],
+                                  text_ids, chain)
+    float(chain)  # one host sync for the whole chained sequence
+    elapsed = (time.perf_counter() - tic - sync_rt) / n_iters
 
     audio_seconds = max_frames * HOP / SR
     rtf = elapsed / audio_seconds
