@@ -73,8 +73,11 @@ def main():
         # `chain` is a scalar derived from the previous iteration's audio;
         # folding it into the key makes iterations data-dependent so they
         # serialize on-device even if block_until_ready is a no-op (the
-        # tunneled backend has been observed to return from it immediately)
-        rng = jax.random.fold_in(rng, chain.astype(jnp.int32) & 0)
+        # tunneled backend has been observed to return from it immediately).
+        # The 1e-30 scale is numerically zero but NOT constant-foldable, so
+        # XLA cannot sever the dependency (x & 0 or 0*x would be folded).
+        rng = jax.random.fold_in(
+            rng, (jnp.abs(chain) * 1e-30).astype(jnp.int32))
         r_dur, r_dec = jax.random.split(rng)
         dur = infer_durations(params, r_dur, speaker, text_ids,
                               sigma_dur=0.666)

@@ -68,14 +68,30 @@ def istft(magnitude, phase, n_fft=1024, hop_length=256, win_length=1024):
     frames = frames * w[None, None, :]
 
     n = n_fft + hop_length * (T - 1)
-    idx = (jnp.arange(T)[:, None] * hop_length
-           + jnp.arange(n_fft)[None, :]).reshape(-1)
-    sig = jnp.zeros((B, n), frames.dtype)
-    sig = sig.at[:, idx].add(frames.reshape(B, -1))
-
-    wss = jnp.zeros((n,), jnp.float32)
     wsq = jnp.square(w)
-    wss = wss.at[idx].add(jnp.tile(wsq, T))
+    if n_fft % hop_length == 0:
+        # scatter-free overlap-add: with R = n_fft // hop frames split into
+        # R hop-sized chunks, chunk k of frame t lands at output row t + k;
+        # shift-pad each chunk stream and sum (19 ms -> fused adds on TPU,
+        # the .at[].add scatter path is the denoiser's hotspot otherwise)
+        R = n_fft // hop_length
+        chunks = frames.reshape(B, T, R, hop_length)
+        acc = jnp.zeros((B, T + R - 1, hop_length), frames.dtype)
+        wacc = jnp.zeros((T + R - 1, hop_length), jnp.float32)
+        wchunks = wsq.reshape(R, hop_length)
+        for k in range(R):
+            acc = acc.at[:, k:k + T].add(chunks[:, :, k])
+            wacc = wacc.at[k:k + T].add(
+                jnp.broadcast_to(wchunks[k], (T, hop_length)))
+        sig = acc.reshape(B, n)
+        wss = wacc.reshape(n)
+    else:
+        idx = (jnp.arange(T)[:, None] * hop_length
+               + jnp.arange(n_fft)[None, :]).reshape(-1)
+        sig = jnp.zeros((B, n), frames.dtype)
+        sig = sig.at[:, idx].add(frames.reshape(B, -1))
+        wss = jnp.zeros((n,), jnp.float32)
+        wss = wss.at[idx].add(jnp.tile(wsq, T))
     tiny = jnp.finfo(jnp.float32).tiny
     sig = jnp.where(wss[None, :] > tiny, sig / jnp.maximum(wss, tiny), sig)
     pad = n_fft // 2

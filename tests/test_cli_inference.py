@@ -1,7 +1,9 @@
-"""End-to-end CLI drive: build a (reduced-size) reference torch checkpoint +
-HiFi-GAN vocoder checkpoint on disk, then run `python inference.py` with
-config overrides and check a finite, non-silent wav comes out."""
+"""End-to-end CLI drive for every attribute-model family (DAP regression,
+BGAP bipartite flows, AGAP autoregressive flows): build a reduced-size
+reference torch checkpoint + HiFi-GAN vocoder checkpoint on disk, then run
+`python inference.py` and check a finite, non-silent wav comes out."""
 
+import copy
 import json
 import os
 import subprocess
@@ -35,26 +37,40 @@ SHRINK = {
 }
 
 
-@pytest.mark.slow
-def test_inference_cli_end_to_end(tmp_path):
-    from hifigan_env import AttrDict
-    from hifigan_models import Generator
-    from radtts import RADTTS as RefRADTTS
-
-    # --- model config: config_ljs_dap shrunk
-    with open("configs/config_ljs_dap.json") as f:
-        config = json.load(f)
-    mc = config["model_config"]
+def shrink_model_config(mc):
+    """Reduce every submodel consistently (dims must agree or the reference
+    itself would fail at inference)."""
     mc.update(SHRINK)
     for key in ("dur_model_config", "f0_model_config",
                 "energy_model_config", "v_model_config"):
-        mc[key]["hparams"]["bottleneck_hparams"]["in_dim"] = 64
-        mc[key]["hparams"]["arch_hparams"]["n_channels"] = 32
+        sub = mc.get(key)
+        if not sub:
+            continue
+        h = sub["hparams"]
+        if "bottleneck_hparams" in h:
+            h["bottleneck_hparams"]["in_dim"] = 64
+        if sub["name"] == "dap":
+            h["arch_hparams"]["n_channels"] = 32
+        elif sub["name"] == "agap":
+            h["n_hidden"] = 32
+            if h.get("spline_flow_params"):
+                h["spline_flow_params"]["n_context_dim"] = 32
+    return mc
 
-    # --- torch checkpoints on disk
-    torch.manual_seed(0)
-    ref = RefRADTTS(**mc)
+
+def build_fixtures(tmp_path, config_name):
+    from hifigan_env import AttrDict
+    from hifigan_models import Generator
+    from radtts import RADTTS as RefRADTTS
     from tests.ref_utils import converge_spectral_norms
+
+    with open(f"configs/{config_name}") as f:
+        config = json.load(f)
+    mc = shrink_model_config(config["model_config"])
+
+    torch.manual_seed(0)
+    # the reference mutates spline_flow_params in place at build time
+    ref = RefRADTTS(**copy.deepcopy(mc))
     converge_spectral_norms(ref)
     radtts_ckpt = tmp_path / "radtts_ckpt.pt"
     torch.save({"state_dict": ref.state_dict(), "iteration": 10,
@@ -66,7 +82,7 @@ def test_inference_cli_end_to_end(tmp_path):
     voc_cfg = tmp_path / "hifigan_config.json"
     voc_cfg.write_text(json.dumps(HIFIGAN_SMALL))
 
-    # --- tiny filelist (inference only reads it for the speaker table)
+    # tiny filelist (inference only reads it for the speaker table)
     wav_dir = tmp_path / "wavs"
     wav_dir.mkdir()
     sr = 22050
@@ -85,7 +101,12 @@ def test_inference_cli_end_to_end(tmp_path):
         "training_files"]
     config["data_config"]["betabinom_cache_path"] = str(tmp_path / "cache")
     cfg_path.write_text(json.dumps(config))
+    return cfg_path, radtts_ckpt, voc_ckpt, voc_cfg, sentences
 
+
+def drive_inference_cli(tmp_path, config_name):
+    cfg_path, radtts_ckpt, voc_ckpt, voc_cfg, sentences = build_fixtures(
+        tmp_path, config_name)
     out_dir = tmp_path / "results"
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     result = subprocess.run(
@@ -103,3 +124,18 @@ def test_inference_cli_end_to_end(tmp_path):
     assert np.isfinite(audio).all()
     assert len(audio) > 22050 * 0.2  # at least 0.2 s
     assert np.abs(audio).max() > 1e-4  # not silence
+
+
+@pytest.mark.slow
+def test_inference_cli_dap(tmp_path):
+    drive_inference_cli(tmp_path, "config_ljs_dap.json")
+
+
+@pytest.mark.slow
+def test_inference_cli_bgap(tmp_path):
+    drive_inference_cli(tmp_path, "config_ljs_bgap.json")
+
+
+@pytest.mark.slow
+def test_inference_cli_agap(tmp_path):
+    drive_inference_cli(tmp_path, "config_ljs_agap.json")
