@@ -133,10 +133,13 @@ def _radtts_init_impl(key, model_config):
                 inv = inv1x1_lus_init(k1, ch)
             else:
                 inv = inv1x1_init(k1, ch)
+            # the reference hardcodes the WN predictor width to 1024
+            # independent of n_hidden (common.py:750 n_channels=1024);
+            # affine_n_channels is our explicit override for small models
             affine = affine_coupling_init(
                 k2, ch, n_flowstep_cond_dims, n_conv_layers,
                 affine_model=g("affine_model", "simple_conv"),
-                n_hidden=n_hidden)
+                n_hidden=g("affine_n_channels", 1024))
             flows.append({"inv": inv, "affine": affine})
             flow_channels.append(ch)
         params["flows"] = flows

@@ -46,6 +46,7 @@ MODEL_CONFIG = {
     "n_conv_layers_per_step": 2,
     "n_mel_channels": 20,
     "n_hidden": 32,
+    "affine_n_channels": 32,  # our small-WN override; reference fixes 1024
     "mel_encoder_n_hidden": 32,
     "dummy_speaker_embedding": False,
     "n_early_size": 2,
