@@ -217,7 +217,15 @@ def train(config, output_directory, epochs, optim_algo, learning_rate,
           checkpoint_path, ignore_layers, ignore_layers_warmstart,
           include_layers, finetune_layers, warmstart_checkpoint_path,
           use_amp, grad_clip_val, loss_weights, binarization_start_iter=-1,
-          kl_loss_start_iter=-1, unfreeze_modules="all", **kwargs):
+          kl_loss_start_iter=-1, unfreeze_modules="all", log_interval=1,
+          profile_dir="", profile_start_iter=5, profile_n_iters=5,
+          **kwargs):
+    """log_interval > 1 skips the per-iteration scalar host syncs on all but
+    every Nth step (each float() costs a full host round trip on tunneled
+    backends). profile_dir enables a jax.profiler trace of steps
+    [profile_start_iter, profile_start_iter + profile_n_iters) viewable in
+    TensorBoard / Perfetto — the reference's only tracing was a wall-clock
+    print (reference: train.py:383,424-427)."""
     import hashlib
 
     from radtts_tpu.data.dataset import Data, DataCollate, DataLoader
@@ -284,22 +292,31 @@ def train(config, output_directory, epochs, optim_algo, learning_rate,
             use_kl = binarize and iteration >= kl_loss_start_iter
             rng, step_rng = jax.random.split(rng)
             sharded = shard_batch(batch, mesh)
+
+            if profile_dir and iteration == profile_start_iter:
+                jax.profiler.start_trace(profile_dir)
             params, opt_state, total, loss_dict, grad_norm = train_step(
                 params, opt_state, sharded, step_rng, binarize, use_kl)
+            if (profile_dir
+                    and iteration == profile_start_iter + profile_n_iters):
+                jax.tree.map(lambda x: x.block_until_ready(), total)
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {profile_dir}")
 
-            total = float(total)
-            toc = time.time()
-            print_list = [f"iter: {iteration}  ({toc - tic:.2f} s)  |  "
-                          f"lr: {learning_rate}"]
-            for k, (v, w) in loss_dict.items():
-                v = float(v)
-                print_list.append(f"  |  {k}: {v:.3f}")
+            if iteration % max(log_interval, 1) == 0:
+                total = float(total)  # host sync
+                toc = time.time()
+                print_list = [f"iter: {iteration}  ({toc - tic:.2f} s)  |  "
+                              f"lr: {learning_rate}"]
+                for k, (v, w) in loss_dict.items():
+                    v = float(v)
+                    print_list.append(f"  |  {k}: {v:.3f}")
+                    if logger is not None:
+                        logger.add_scalar("train/" + k, v, iteration)
                 if logger is not None:
-                    logger.add_scalar("train/" + k, v, iteration)
-            if logger is not None:
-                logger.add_scalar("train/grad_norm", float(grad_norm),
-                                  iteration)
-            print("".join(print_list), flush=True)
+                    logger.add_scalar("train/grad_norm", float(grad_norm),
+                                      iteration)
+                print("".join(print_list), flush=True)
 
             if iteration > -1 and iteration % iters_per_checkpoint == 0:
                 val_losses = compute_validation_loss(
