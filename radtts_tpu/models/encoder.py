@@ -36,7 +36,19 @@ def encoder_init(key, encoder_embedding_dim=512, encoder_n_convolutions=3,
 
 def encoder_apply(params, x, in_lens=None, *, training=False, dropout_rng=None):
     """x: (B, N, C) text embeddings. in_lens None => inference path without
-    masking (reference Encoder.infer, common.py:375-384)."""
+    masking (reference Encoder.infer, common.py:375-384).
+
+    Runs at full fp32 matmul precision — the reference pins the whole
+    encoder outside autocast (common.py:341 @amp.autocast(False)); on TPU
+    the default bf16 pass in the BiLSTM scans drifts the text encoding
+    enough to break downstream mel parity."""
+    with jax.default_matmul_precision("highest"):
+        return _encoder_apply(params, x, in_lens, training=training,
+                              dropout_rng=dropout_rng)
+
+
+def _encoder_apply(params, x, in_lens=None, *, training=False,
+                   dropout_rng=None):
     B, N, _ = x.shape
     mask = None if in_lens is None else sequence_mask(in_lens, N)
     for conv_p, norm_p in zip(params["convs"], params["norms"]):

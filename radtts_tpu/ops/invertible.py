@@ -46,9 +46,13 @@ def inv1x1_lus_weight(params):
 
 
 def inv1x1_lus_forward(params, x):
-    """x: (B, T, C) -> (y, log_det_W scalar)."""
+    """x: (B, T, C) -> (y, log_det_W scalar). Full-fp32 matmul: the
+    reference runs these under autocast(False) (common.py:407); on TPU the
+    default bf16 matmul pass here compounds through the 8-step flow stack
+    and breaks the mel-MAE<1e-3 parity target."""
     W = inv1x1_lus_weight(params)
-    y = x @ W.T.astype(x.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    y = jnp.matmul(x, W.T.astype(x.dtype), precision=hi)
     log_det = jnp.sum(jnp.log(jnp.abs(params["upper_diag"])))
     return y, log_det
 
@@ -57,7 +61,8 @@ def inv1x1_lus_inverse(params, x):
     W_inv = params.get("w_inv")
     if W_inv is None:
         W_inv = jnp.linalg.inv(inv1x1_lus_weight(params))
-    return x @ W_inv.T.astype(x.dtype)
+    return jnp.matmul(x, W_inv.T.astype(x.dtype),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def inv1x1_init(key, c):
@@ -66,7 +71,8 @@ def inv1x1_init(key, c):
 
 def inv1x1_forward(params, x):
     W = params["w1x1"]
-    y = x @ W.T.astype(x.dtype)
+    y = jnp.matmul(x, W.T.astype(x.dtype),
+                   precision=jax.lax.Precision.HIGHEST)
     sign, logabsdet = jnp.linalg.slogdet(W)
     # reference uses torch.logdet (nan for negative det); init guarantees
     # det > 0 so log|det| matches
@@ -77,7 +83,8 @@ def inv1x1_inverse(params, x):
     W_inv = params.get("w_inv")
     if W_inv is None:
         W_inv = jnp.linalg.inv(params["w1x1"])
-    return x @ W_inv.T.astype(x.dtype)
+    return jnp.matmul(x, W_inv.T.astype(x.dtype),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @jax.jit
