@@ -54,3 +54,44 @@ def test_dp_matches_single_device():
 
     np.testing.assert_allclose(float(loss1), float(loss4), rtol=2e-4)
     np.testing.assert_allclose(float(gn1), float(gn4), rtol=2e-3)
+
+
+def test_tp_matches_single_device():
+    """2-way tensor parallelism over the WN hidden channels must reproduce
+    the single-device loss (the psum over the sharded contraction is the
+    only collective XLA inserts)."""
+    from __graft_entry__ import (_LOSS_WEIGHTS, _example_batch,
+                                 _flagship_model_config, radtts_init_with)
+    from radtts_tpu.parallel.mesh import (batch_shardings, make_mesh,
+                                          param_shardings, replicate)
+    from radtts_tpu.train.optim import build_optimizer
+    from radtts_tpu.train.trainer import (build_trainable_mask,
+                                          make_train_step)
+    import jax.numpy as jnp
+
+    cfg = _flagship_model_config(small=True)
+    params = radtts_init_with(cfg)
+    optimizer = build_optimizer("Adam", 1e-4, 0.0, 1.0)
+    mask = build_trainable_mask(params, "all", ())
+    opt_state = optimizer.init(params)
+    batch = _example_batch(3, B=2, N=16, T=32, n_mel=cfg["n_mel_channels"])
+    step = make_train_step(cfg, _LOSS_WEIGHTS, 1.0, optimizer, mask)
+    rng = jax.random.PRNGKey(0)
+
+    def fresh(tree):
+        return jax.tree.map(jnp.copy, tree)
+
+    mesh1 = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    _, _, loss1, _, gn1 = step(replicate(fresh(params), mesh1),
+                               replicate(fresh(opt_state), mesh1),
+                               batch, rng, True, False)
+
+    mesh_tp = make_mesh(n_data=1, n_model=2, devices=jax.devices()[:2])
+    shardings = param_shardings(params, mesh_tp)
+    p_tp = jax.device_put(fresh(params), shardings)
+    o_tp = replicate(fresh(opt_state), mesh_tp)
+    b_tp = jax.device_put(batch, batch_shardings(batch, mesh_tp))
+    _, _, loss_tp, _, gn_tp = step(p_tp, o_tp, b_tp, rng, True, False)
+
+    np.testing.assert_allclose(float(loss1), float(loss_tp), rtol=2e-4)
+    np.testing.assert_allclose(float(gn1), float(gn_tp), rtol=2e-3)
