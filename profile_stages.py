@@ -1,6 +1,11 @@
 #!/usr/bin/env python
-"""Stage-level RTF profiling on the attached chip: times each jitted stage of
-the text->wav pipeline separately to locate the bottleneck."""
+"""Stage-level RTF profiling on the attached chip.
+
+Times each jitted stage of the text->wav pipeline with the tunnel-robust
+methodology (docs/DESIGN.md §8): N repetitions chained inside one jitted
+fori_loop (so per-execution dispatch overhead and a possibly non-blocking
+block_until_ready cannot skew the numbers), one scalar host sync at the end.
+"""
 
 import time
 
@@ -8,90 +13,90 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from __graft_entry__ import _flagship_model_config
 from bench import HIFIGAN_V1
 from radtts_tpu.models.hifigan import (denoiser_apply, denoiser_init,
                                        hifigan_generator_apply,
                                        hifigan_generator_init)
-from radtts_tpu.models.radtts import (encode_speaker, encode_text,
-                                      infer_durations, preprocess_context,
-                                      radtts_infer)
+from radtts_tpu.models.radtts import (infer_durations, radtts_infer,
+                                      radtts_init)
 from radtts_tpu.ops.invertible import precompute_inverses
-from radtts_tpu.ops.length_regulator import regulate_length
+
+N_REPS = 10
+MAX_FRAMES = 608
+AUDIO_S = MAX_FRAMES * 256 / 22050
 
 
-def timeit(fn, *args, iters=10):
-    out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready()
-                 if hasattr(x, "block_until_ready") else x, out)
-    tic = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready()
-                 if hasattr(x, "block_until_ready") else x, out)
-    return (time.perf_counter() - tic) / iters
+def chained(name, f, x0, *consts):
+    """f: (x, i, *consts) -> y. Separate dispatches, each data-dependent on
+    the previous result through a non-constant-foldable epsilon term
+    (wrapping large graphs in fori_loop multiplies XLA compile time;
+    bench-style chaining keeps one compile of f and still forces serial
+    execution). Model params MUST flow through *consts, not closures —
+    closure-captured pytrees get baked into the HLO as constants and blow
+    past the remote-compile request limit."""
+    t0 = time.perf_counter()
+
+    @jax.jit
+    def run(x, i, *consts):
+        y = f(x, i, *consts)
+        return x + jnp.mean(y) * 1e-30
+
+    x = run(x0, 0, *consts)
+    float(x.ravel()[0])
+    compile_s = time.perf_counter() - t0
+    t = time.perf_counter()
+    for i in range(N_REPS):
+        x = run(x, i, *consts)
+    float(x.ravel()[0])
+    dt = (time.perf_counter() - t) / N_REPS
+    print(f"{name:30s} {dt*1000:8.2f} ms  rtf={dt/AUDIO_S:.5f} "
+          f"(compile {compile_s:.0f}s)", flush=True)
+    return dt
 
 
 def main():
     model_config = _flagship_model_config(small=False)
-    from radtts_tpu.models.radtts import radtts_init
-    params = radtts_init(jax.random.PRNGKey(0), model_config)
-    params = precompute_inverses(params)
+    params = precompute_inverses(
+        radtts_init(jax.random.PRNGKey(0), model_config))
     vocoder = hifigan_generator_init(jax.random.PRNGKey(1), HIFIGAN_V1)
     denoiser = denoiser_init(vocoder)
 
-    N = 64
-    max_frames = 608
-    audio_s = max_frames * 256 / 22050
-    text = jnp.asarray(np.random.default_rng(0).integers(1, 180, (1, N)))
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.integers(1, 180, (1, 64)).astype(np.int32))
     spk = jnp.zeros((1,), jnp.int32)
-    rng = jax.random.PRNGKey(0)
+    dur = jnp.full((1, 64), MAX_FRAMES // 64, jnp.int32)
+    mel0 = jnp.asarray(
+        rng.standard_normal((1, MAX_FRAMES, 80)).astype(np.float32))
+    audio0 = jnp.asarray(
+        rng.standard_normal((1, MAX_FRAMES * 256)).astype(np.float32) * 0.1)
+    k = jax.random.PRNGKey(3)
 
-    dur_val = jnp.full((1, N), max_frames // N, jnp.int32)
-
-    stages = {}
-
-    f_dur = jax.jit(lambda p, r, s, t: infer_durations(p, r, s, t))
-    stages["durations(enc+dap)"] = timeit(f_dur, params, rng, spk, text)
-
-    @jax.jit
-    def f_decode(p, r, s, t, d):
-        return radtts_infer(p, r, s, t, 0.8, max_frames, dur=d)["mel"]
-
-    stages["decode(attrs+ctx+invflow)"] = timeit(
-        f_decode, params, rng, spk, text, dur_val)
-
-    mel = f_decode(params, rng, spk, text, dur_val)
-
-    # decode sub-pieces
-    @jax.jit
-    def f_ctx(p, s, t, d):
-        spk_vec = encode_speaker(p, s)
-        txt_enc, _ = encode_text(p, t, None)
-        texp = regulate_length(txt_enc, d, max_frames)
-        out_lens = jnp.sum(d, axis=1)
-        f0 = jnp.zeros((1, max_frames))
-        e = jnp.zeros((1, max_frames))
-        return preprocess_context(p, texp, spk_vec, out_lens, f0, e)
-
-    stages["  ctx(enc+regulate+ctxlstm)"] = timeit(
-        f_ctx, params, spk, text, dur_val)
-
-    f_voc = jax.jit(lambda v, m: hifigan_generator_apply(v, m))
-    stages["vocoder"] = timeit(f_voc, vocoder, mel)
-    audio = f_voc(vocoder, mel)
-
-    f_den = jax.jit(lambda dn, a: denoiser_apply(dn, a, 0.01))
-    stages["denoiser"] = timeit(f_den, denoiser, audio)
-
-    total = (stages["durations(enc+dap)"]
-             + stages["decode(attrs+ctx+invflow)"] + stages["vocoder"]
-             + stages["denoiser"])
-    print(f"audio_s={audio_s:.2f}")
-    for k, v in stages.items():
-        print(f"{k:32s} {v*1000:8.2f} ms   rtf={v/audio_s:.5f}")
-    print(f"{'TOTAL':32s} {total*1000:8.2f} ms   rtf={total/audio_s:.5f}")
+    total = 0.0
+    total += chained(
+        "durations(enc+dap)",
+        lambda x, i, p: infer_durations(
+            p, jax.random.fold_in(k, i), spk, text,
+            sigma_dur=0.666).astype(jnp.float32) + 1e-30 * jnp.mean(x),
+        jnp.zeros((4,)), params)
+    total += chained(
+        "decode(attrs+ctx+invflow)",
+        lambda x, i, p: radtts_infer(
+            p, jax.random.fold_in(k, i), spk, text, 0.8, MAX_FRAMES,
+            dur=dur, sigma_f0=1.0, sigma_energy=1.0)["mel"]
+        + 1e-30 * jnp.mean(x),
+        jnp.zeros((4,)), params)
+    total += chained(
+        "vocoder",
+        lambda m, i, v: hifigan_generator_apply(v, m + 1e-30 * i),
+        mel0, vocoder)
+    total += chained(
+        "denoiser",
+        lambda a, i, d: denoiser_apply(d, a + 1e-30 * i, 0.01),
+        audio0, denoiser)
+    print(f"{'TOTAL':30s} {total*1000:8.2f} ms  rtf={total/AUDIO_S:.5f}")
 
 
 if __name__ == "__main__":

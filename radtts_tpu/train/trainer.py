@@ -220,7 +220,12 @@ def train(config, output_directory, epochs, optim_algo, learning_rate,
           kl_loss_start_iter=-1, unfreeze_modules="all", log_interval=1,
           profile_dir="", profile_start_iter=5, profile_n_iters=5,
           **kwargs):
-    """log_interval > 1 skips the per-iteration scalar host syncs on all but
+    """use_amp is accepted for config parity but mixed precision is built
+    in on TPU: matmuls/convs run bf16-pass by default with fp32 pinned on
+    the reference's autocast-false islands (invertible 1x1s, text encoder),
+    and no loss scaler is needed in bf16 — so the flag is a no-op here.
+
+    log_interval > 1 skips the per-iteration scalar host syncs on all but
     every Nth step (each float() costs a full host round trip on tunneled
     backends). profile_dir enables a jax.profiler trace of steps
     [profile_start_iter, profile_start_iter + profile_n_iters) viewable in
