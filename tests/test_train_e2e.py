@@ -165,3 +165,60 @@ def test_trainable_mask_freezing():
     flat_all = tree_to_flat_dict(mask_all)
     assert flat_all["embedding/table"]
     assert not flat_all["flows/0/inv/p"]
+
+
+def test_warmstart_from_torch_with_filters(tmp_path):
+    """Warmstart from a reference torch checkpoint with the reference's
+    substring filters (train.py:159-176; README.md:46-48 documents dropping
+    speaker_embedding when changing speaker sets): filtered layers keep our
+    init, everything else takes the torch values."""
+    import copy
+
+    import torch
+
+    from tests.ref_utils import install_reference
+    install_reference()
+    from radtts import RADTTS as RefRADTTS
+
+    from radtts_tpu.train.trainer import warmstart
+
+    # the reference can only build 1024-wide WN couplings; drop our
+    # small-model override so init shapes agree with the torch checkpoint
+    mc = copy.deepcopy(MODEL_CONFIG)
+    mc.pop("affine_n_channels", None)
+
+    torch.manual_seed(0)
+    ref = RefRADTTS(**copy.deepcopy(mc))
+    ckpt = tmp_path / "ref.pt"
+    torch.save({"state_dict": ref.state_dict()}, ckpt)
+
+    params = radtts_init(jax.random.PRNGKey(3), mc)
+    before = tree_to_flat_dict(params)
+
+    out = warmstart(str(ckpt), params, mc,
+                    ignore_layers_warmstart=["speaker_embedding"])
+    flat = tree_to_flat_dict(out)
+
+    # filtered layer keeps our init
+    np.testing.assert_array_equal(flat["speaker_embedding/table"],
+                                  before["speaker_embedding/table"])
+    # non-filtered layer takes the torch values
+    np.testing.assert_allclose(
+        np.asarray(flat["embedding/table"]),
+        ref.embedding.weight.detach().numpy(), rtol=1e-6)
+    assert not np.allclose(np.asarray(before["embedding/table"]),
+                           ref.embedding.weight.detach().numpy())
+
+    # include_layers keeps ONLY matching layers from the checkpoint
+    params2 = radtts_init(jax.random.PRNGKey(3), mc)
+    before2 = tree_to_flat_dict(params2)
+    out2 = warmstart(str(ckpt), params2, mc,
+                     include_layers=["embedding"])
+    flat2 = tree_to_flat_dict(out2)
+    # 'embedding' substring matches both embeddings -> loaded
+    np.testing.assert_allclose(
+        np.asarray(flat2["embedding/table"]),
+        ref.embedding.weight.detach().numpy(), rtol=1e-6)
+    # encoder does not match -> keeps init
+    enc_key = [k for k in before2 if k.startswith("encoder/")][0]
+    np.testing.assert_array_equal(flat2[enc_key], before2[enc_key])
