@@ -69,3 +69,33 @@ def mas_width1(attn, out_lens, in_lens):
     """Batched MAS. attn: (B, T_mel, T_text) soft attention probabilities;
     returns hard attention (B, T_mel, T_text) float32."""
     return jax.vmap(_mas_single)(attn, out_lens, in_lens)
+
+
+if __name__ == "__main__":
+    # alignment debug CLI (reference: alignment.py:61-66): load a saved
+    # soft-attention .npy, plot it and its MAS binarization side by side.
+    #   python -m radtts_tpu.ops.mas attn.npy
+    import sys
+
+    import numpy as np
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    attn = np.load(sys.argv[1]).squeeze()  # (T_mel, T_text)
+    out_len = jnp.asarray([attn.shape[0]])
+    in_len = jnp.asarray([attn.shape[1]])
+    binarized = np.asarray(
+        mas_width1(jnp.asarray(attn)[None], out_len, in_len))[0]
+
+    for name, data in (("orig.png", attn), ("binarized.png", binarized)):
+        plt.figure(figsize=(8, 6))
+        plt.imshow(data.T, aspect="auto", origin="lower",
+                   interpolation="none")
+        plt.xlabel("mel frames")
+        plt.ylabel("text tokens")
+        plt.tight_layout()
+        plt.savefig(name)
+        plt.close()
+        print(f"wrote {name}")
