@@ -186,13 +186,44 @@ def make_mesh(devices=None):
 
 
 def shard_batch(batch, mesh):
+    """Place batch arrays sharded over the 'data' mesh axis.
+
+    Remainder batches (e.g. the last validation batch when len(valset) is
+    not a device multiple — reference uses DistributedSampler padding,
+    train.py:147-149) are wrap-padded by repeating rows so the leading dim
+    divides the mesh; the duplicated rows only affect per-batch logging
+    means, never gradients (training uses drop_last=True).
+
+    In a multi-host run each process holds only its local slice of the
+    global batch; jax.make_array_from_process_local_data assembles the
+    global sharded array from the per-host shards.
+    """
     sharded = {}
     batch_sharding = NamedSharding(mesh, P("data"))
+    n_data = mesh.shape.get("data", 1)
+    multi_host = jax.process_count() > 1
+    b = None
+    reps = None
     for k in _BATCH_KEYS:
         v = batch.get(k)
         if v is None:
             continue
-        sharded[k] = jax.device_put(jnp.asarray(v), batch_sharding)
+        v = np.asarray(v)
+        if b is None:
+            b = v.shape[0]
+            local_mult = (n_data // jax.process_count() if multi_host
+                          else n_data)
+            local_mult = max(local_mult, 1)
+            pad = (-b) % local_mult
+            if pad:
+                reps = np.arange(b + pad) % b
+        if reps is not None:
+            v = v[reps]
+        if multi_host:
+            sharded[k] = jax.make_array_from_process_local_data(
+                batch_sharding, v)
+        else:
+            sharded[k] = jax.device_put(jnp.asarray(v), batch_sharding)
     return sharded
 
 
@@ -249,6 +280,17 @@ def train(config, output_directory, epochs, optim_algo, learning_rate,
     assert batch_size % n_devices == 0 or n_devices == 1, (
         f"batch_size {batch_size} not divisible by {n_devices} devices")
 
+    # multi-host: each process loads a disjoint dataset shard (reference:
+    # DistributedSampler, train.py:147-149) and only rank 0 logs/checkpoints
+    # (reference: train.py:439-453)
+    process_rank = jax.process_index()
+    n_process = jax.process_count()
+    is_rank0 = process_rank == 0
+    if n_process > 1:
+        print(f"> multi-host: process {process_rank}/{n_process}, "
+              f"{len(jax.local_devices())} local / {n_devices} global "
+              f"devices")
+
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
     params = radtts_init(init_rng, model_config)
@@ -283,9 +325,11 @@ def train(config, output_directory, epochs, optim_algo, learning_rate,
                   speaker_ids=trainset.speaker_ids)
     collate_fn = DataCollate()
     train_loader = DataLoader(trainset, batch_size, collate_fn,
-                              shuffle=True, seed=seed)
+                              shuffle=True, seed=seed, rank=process_rank,
+                              world_size=n_process)
 
-    logger = prepare_output_folder(output_directory, config)
+    logger = (prepare_output_folder(output_directory, config)
+              if is_rank0 else None)
 
     epoch_offset = max(0, iteration // max(len(train_loader), 1))
     for epoch in range(epoch_offset, epochs):
@@ -329,9 +373,11 @@ def train(config, output_directory, epochs, optim_algo, learning_rate,
                     valset, collate_fn, batch_size, mesh, logger=logger,
                     train_config=train_config,
                     sampling_rate=data_config["sampling_rate"])
-                ckpt = os.path.join(output_directory, f"model_{iteration}")
-                save_checkpoint(ckpt, params, opt_state, iteration,
-                                learning_rate)
+                if is_rank0:
+                    ckpt = os.path.join(output_directory,
+                                        f"model_{iteration}")
+                    save_checkpoint(ckpt, params, opt_state, iteration,
+                                    learning_rate)
                 print("Validation loss:", val_losses)
             iteration += 1
     return params
@@ -433,18 +479,25 @@ def _log_audio_samples(iteration, params, model_config, train_config,
         g = model_config["n_group_size"]
         total = int(durations.sum())
         max_frames = ((total + 16 * g - 1) // (16 * g)) * 16 * g
+
+        def _gt_frames(key):
+            # the batch's padded T can be shorter than max_frames (which is
+            # rounded up to a 16*group multiple); zero-pad — frames past
+            # `total` are sliced off the mel before vocoding anyway
+            arr = np.asarray(batch[key][:1])
+            if arr.shape[1] < max_frames:
+                arr = np.pad(arr, ((0, 0), (0, max_frames - arr.shape[1])))
+            return jnp.asarray(arr[:, :max_frames])
+
         from radtts_tpu.models.hifigan import (denoiser_apply,
                                                hifigan_generator_apply)
         for attribute_sigma in attribute_sigmas:
             try:
                 kwargs = {}
                 if attribute_sigma <= 0:
-                    kwargs = dict(
-                        f0=jnp.asarray(batch["f0"][:1, :max_frames]),
-                        energy_avg=jnp.asarray(
-                            batch["energy_avg"][:1, :max_frames]),
-                        voiced_mask=jnp.asarray(
-                            batch["voiced_mask"][:1, :max_frames]))
+                    kwargs = dict(f0=_gt_frames("f0"),
+                                  energy_avg=_gt_frames("energy_avg"),
+                                  voiced_mask=_gt_frames("voiced_mask"))
                 else:
                     kwargs = dict(sigma_f0=attribute_sigma,
                                   sigma_energy=attribute_sigma)

@@ -95,3 +95,72 @@ def test_tp_matches_single_device():
 
     np.testing.assert_allclose(float(loss1), float(loss_tp), rtol=2e-4)
     np.testing.assert_allclose(float(gn1), float(gn_tp), rtol=2e-3)
+
+
+def _fake_val_items(n_items, n_mel, seed=0):
+    """Synthetic per-sample dicts shaped like Data.__getitem__ output."""
+    r = np.random.default_rng(seed)
+    items = []
+    for i in range(n_items):
+        N, T = 12 + i, 40 + 4 * i
+        items.append({
+            "text_encoded": r.integers(1, 100, (N,)),
+            "mel": r.standard_normal((T, n_mel)).astype(np.float32),
+            "speaker_id": 0,
+            "audiopath": f"fake_{i}.wav",
+            "f0": (r.random(T) * 200 + 100).astype(np.float32),
+            "p_voiced": (r.random(T) > 0.3).astype(np.float32),
+            "voiced_mask": (r.random(T) > 0.3).astype(np.float32),
+            "energy_avg": r.random(T).astype(np.float32),
+            "attn_prior": (r.random((T, N)) * 0.5 + 0.25).astype(
+                np.float32),
+        })
+    return items
+
+
+def test_validation_remainder_batch_on_8_devices():
+    """len(valset)=3, batch_size=8 on an 8-device mesh: the remainder batch
+    must be wrap-padded to a device multiple instead of crashing device_put
+    (reference validation runs on all ranks, train.py:200-297)."""
+    from radtts_tpu.data.dataset import DataCollate
+    from radtts_tpu.models.radtts import radtts_init
+    from radtts_tpu.train.trainer import (compute_validation_loss,
+                                          make_mesh)
+    from tests.small_model import MODEL_CONFIG
+    from __graft_entry__ import _LOSS_WEIGHTS
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(jax.devices()[:8])
+    cfg = dict(MODEL_CONFIG, n_speakers=2)
+    params = radtts_init(jax.random.PRNGKey(0), cfg)
+    valset = _fake_val_items(3, cfg["n_mel_channels"])
+    totals = compute_validation_loss(
+        0, params, cfg, _LOSS_WEIGHTS, 1.0, valset, DataCollate(),
+        batch_size=8, mesh=mesh, logger=None)
+    assert totals and all(np.isfinite(v) for v in totals.values()), totals
+
+
+def test_loader_rank_sharding_disjoint():
+    """Multi-host dataset sharding: ranks see disjoint index sets that
+    cover the dataset (reference: DistributedSampler, train.py:147-149)."""
+    from radtts_tpu.data.dataset import DataLoader
+
+    dataset = list(range(23))
+    seen = []
+    for rank in range(4):
+        loader = DataLoader(dataset, 2, lambda items: items, shuffle=True,
+                            seed=7, rank=rank, world_size=4,
+                            drop_last=False)
+        loader.set_epoch(3)
+        idx = np.concatenate(loader._indices())
+        seen.append(set(int(i) for i in idx))
+    union = set().union(*seen)
+    assert union == set(range(23))
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert not (seen[a] & seen[b])
+    # deterministic given (seed, epoch)
+    loader2 = DataLoader(dataset, 2, lambda items: items, shuffle=True,
+                         seed=7, rank=1, world_size=4, drop_last=False)
+    loader2.set_epoch(3)
+    assert set(int(i) for i in np.concatenate(loader2._indices())) == seen[1]

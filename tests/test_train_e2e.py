@@ -222,3 +222,67 @@ def test_warmstart_from_torch_with_filters(tmp_path):
     # encoder does not match -> keeps init
     enc_key = [k for k in before2 if k.startswith("encoder/")][0]
     np.testing.assert_array_equal(flat2[enc_key], before2[enc_key])
+
+
+def test_gt_attribute_audio_sample_logged(tmp_path):
+    """_log_audio_samples with GT attributes (sigma=-1) must actually emit
+    audio (reference train.py:247-295): max_frames rounds UP to a 16*group
+    multiple and can exceed the batch's padded T, which used to shape-error
+    inside the instability guard and silently skip the sample."""
+    import torch
+
+    from radtts_tpu.train.trainer import _log_audio_samples
+    from tests.ref_utils import install_reference
+    install_reference()
+    from hifigan_env import AttrDict
+    from hifigan_models import Generator
+    from tests.test_cli_inference import HIFIGAN_SMALL
+
+    voc = Generator(AttrDict(dict(HIFIGAN_SMALL)))
+    voc_ckpt = tmp_path / "hifigan.pt"
+    torch.save({"generator": voc.state_dict()}, voc_ckpt)
+    voc_cfg = tmp_path / "hifigan_config.json"
+    voc_cfg.write_text(json.dumps(HIFIGAN_SMALL))
+
+    cfg = dict(MODEL_CONFIG_TRAIN, n_mel_channels=80)  # vocoder wants 80
+    params = radtts_init(jax.random.PRNGKey(0), cfg)
+
+    # padded T = 48 (multiple of 16, NOT of 16*n_group_size=32): durations
+    # summing to 48 give max_frames=64 > 48, exercising the pad path
+    B, N, T = 1, 12, 48
+    r = np.random.default_rng(0)
+    voiced = (r.random((B, T)) > 0.3).astype(np.float32)
+    batch = {
+        "mel": r.standard_normal((B, T, 80)).astype(np.float32),
+        "speaker_ids": np.zeros((B,), np.int64),
+        "text": r.integers(1, 180, (B, N)),
+        "input_lengths": np.asarray([N]),
+        "output_lengths": np.asarray([T]),
+        "f0": (r.random((B, T)).astype(np.float32) * 300 + 100) * voiced,
+        "voiced_mask": voiced,
+        "energy_avg": r.random((B, T)).astype(np.float32),
+        "audiopaths": ["fake.wav"],
+    }
+    dur = np.zeros(N, np.int32)
+    dur[:] = T // N
+    dur[: T % N] += 1
+    attn = np.zeros((1, T, N), np.float32)
+    attn[0, np.arange(T), np.repeat(np.arange(N), dur)] = 1.0
+    assert int(attn[0].sum()) == 48
+
+    calls = []
+
+    class FakeLogger:
+        def add_audio(self, tag, audio, step, sr):
+            calls.append((tag, np.asarray(audio)))
+
+    train_config = {"vocoder_checkpoint_path": str(voc_ckpt),
+                    "vocoder_config_path": str(voc_cfg),
+                    "log_decoder_samples": True,
+                    "log_attribute_samples": False}
+    _log_audio_samples(0, params, cfg, train_config, batch, attn,
+                       FakeLogger(), 22050)
+    assert calls, "no audio sample was logged"
+    tag, audio = calls[0]
+    assert tag == "decoder_sample_gt_attributes"
+    assert np.isfinite(audio).all() and audio.size > 0

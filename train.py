@@ -38,4 +38,15 @@ if __name__ == "__main__":
     world = int(os.getenv('WORLD_SIZE', '1'))
     print(f'> got rank {rank} and world size {world} ...')
 
+    if world > 1:
+        # multi-host launch contract mirrors the reference's
+        # torch.distributed.launch --use_env (reference: train.py:488-491,
+        # distributed.py:48-64): RANK/WORLD_SIZE + MASTER_ADDR/MASTER_PORT
+        # env vars; the JAX runtime replaces the NCCL TCP rendezvous.
+        import jax
+        coordinator = (os.getenv('MASTER_ADDR', '127.0.0.1') + ':'
+                       + os.getenv('MASTER_PORT', '12355'))
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=world, process_id=rank)
+
     train(config, **train_config)
