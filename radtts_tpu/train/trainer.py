@@ -232,10 +232,33 @@ def shard_batch(batch, mesh):
 # ---------------------------------------------------------------------------
 
 
+def _snapshot_code(output_directory):
+    """Reproducibility record: tar the framework sources into the run dir
+    (reference: `tar -czvf code.tar.gz *.py`, train.py:60-66)."""
+    import tarfile
+
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    out = os.path.join(output_directory, "code.tar.gz")
+    try:
+        with tarfile.open(out, "w:gz") as tar:
+            for name in sorted(os.listdir(repo)):
+                if name.endswith(".py"):
+                    tar.add(os.path.join(repo, name), arcname=name)
+            pkg = os.path.join(repo, "radtts_tpu")
+            if os.path.isdir(pkg):
+                tar.add(pkg, arcname="radtts_tpu",
+                        filter=lambda ti: None
+                        if "__pycache__" in ti.name else ti)
+    except OSError as exc:
+        print("code snapshot skipped:", exc)
+
+
 def prepare_output_folder(output_directory, config):
     os.makedirs(output_directory, exist_ok=True)
     with open(os.path.join(output_directory, "config.json"), "w") as f:
         json.dump(config, f, indent=4)
+    _snapshot_code(output_directory)
     try:
         from tensorboardX import SummaryWriter
         return SummaryWriter(os.path.join(output_directory, "logs"))
