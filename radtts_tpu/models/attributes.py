@@ -290,11 +290,15 @@ def bgap_forward(params, txt_enc, spk_emb, x, lens, **_unused):
             "log_s_list": log_s_list}
 
 
-def bgap_infer(params, z, txt_enc, spk_emb, seq_lens):
+def bgap_infer(params, z, txt_enc, spk_emb, seq_lens=None):
     meta = params["_meta"]
     g = meta["n_group_size"]
     n_flows = meta["n_flows"]
     context = _bgap_context(params, txt_enc, spk_emb, g)
+    if seq_lens is None:
+        # duration-model inference path has no lens (reference calls
+        # dur_pred_layer.infer without them, radtts.py:562): full length
+        seq_lens = jnp.full((z.shape[0],), txt_enc.shape[1], jnp.int32)
     lens_grouped = seq_lens // g
     mask = sequence_mask(lens_grouped, context.shape[1])
     z = unfold_group(z, g)

@@ -521,10 +521,33 @@ def infer_durations(params, rng, speaker_id_text, text, sigma_dur=0.8,
     dur = attribute_model_infer(params["dur_pred_layer"], z_dur, txt_enc,
                                 spk_vec_text)
     dur = dur[..., 0]
+    if dur.shape[1] < N:
+        # grouped (BGAP/AGAP n_group_size>1) duration models emit N/g
+        # tokens; replication-pad back to text length (reference:
+        # radtts.py:562-566, nn.ReplicationPad1d)
+        pad = N - dur.shape[1]
+        dur = jnp.concatenate(
+            [dur, jnp.repeat(dur[:, -1:], pad, axis=1)], axis=1)
     dur = jnp.clip(dur, 0, token_duration_max)
     if token_dur_scaling > 0:
         dur = dur * token_dur_scaling
     return jnp.floor(dur + 0.5).astype(jnp.int32)
+
+
+def renormalize_f0(f0, voiced_mask, f0_mean, f0_std=0.0):
+    """Shift/scale voiced f0 frames to a target mean/std.
+
+    Voiced-frame stats are flattened across the WHOLE batch with Bessel
+    correction, exactly like the reference's f0[vmask_bool].mean()/.std()
+    (reference: radtts.py:613-622) — at B=1 this equals per-item stats."""
+    vm = voiced_mask
+    cnt = jnp.sum(vm)
+    mu = jnp.sum(f0 * vm) / cnt
+    var = jnp.sum(jnp.square(f0 - mu) * vm) / jnp.maximum(cnt - 1, 1)
+    sig = jnp.sqrt(var)
+    f0_std_eff = f0_std if f0_std > 0 else sig
+    return jnp.where(vm.astype(bool),
+                     (f0 - mu) / sig * f0_std_eff + f0_mean, f0)
 
 
 def radtts_infer(params, rng, speaker_id, text, sigma, max_frames, *,
@@ -580,15 +603,7 @@ def radtts_infer(params, rng, speaker_id, text, sigma, max_frames, *,
                           voiced_mask, out_lens)[..., 0]
 
         if f0_mean > 0.0:
-            vm = voiced_mask
-            cnt = jnp.sum(vm, axis=1, keepdims=True)
-            mu = jnp.sum(f0 * vm, axis=1, keepdims=True) / cnt
-            var = jnp.sum(jnp.square(f0 - mu) * vm, axis=1,
-                          keepdims=True) / jnp.maximum(cnt - 1, 1)
-            sig = jnp.sqrt(var)
-            f0_std_eff = f0_std if f0_std > 0 else sig
-            f0 = jnp.where(vm.astype(bool),
-                           (f0 - mu) / sig * f0_std_eff + f0_mean, f0)
+            f0 = renormalize_f0(f0, voiced_mask, f0_mean, f0_std)
 
         if energy_avg is None:
             n_e_ch = 2 if meta["use_first_order_features"] else 1

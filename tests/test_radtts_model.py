@@ -186,3 +186,61 @@ def test_infer_durations_runs(models):
                           jnp.asarray([0]), text)
     assert dur.shape == (1, N)
     assert (np.asarray(dur) >= 0).all()
+
+
+def test_infer_durations_grouped_model_pads_to_text_length():
+    """A n_group_size=2 BGAP duration model emits N/2 tokens; inference
+    must replication-pad back to (B, N) (reference: radtts.py:562-566)."""
+    import copy
+
+    from tests.test_attribute_models import BGAP_HPARAMS
+    from radtts_tpu.models.radtts import infer_durations, radtts_init
+
+    hp = copy.deepcopy(BGAP_HPARAMS)
+    hp["bottleneck_hparams"]["in_dim"] = MODEL_CONFIG["n_text_dim"]
+    hp["take_log_of_input"] = True
+    cfg = dict(MODEL_CONFIG,
+               dur_model_config={"name": "bgap", "hparams": hp})
+    params = radtts_init(jax.random.PRNGKey(0), cfg)
+    # odd N: the g=2 unfold truncates to 14 tokens, so the model emits 14
+    # and inference must replication-pad the 15th
+    text = jnp.asarray(np.random.default_rng(0).integers(1, 180, (2, 15)))
+    dur = infer_durations(params, jax.random.PRNGKey(1),
+                          jnp.asarray([0, 1]), text)
+    assert dur.shape == (2, 15)
+    d = np.asarray(dur)
+    assert (d >= 0).all()
+    # the padded tail replicates the last emitted prediction
+    assert (d[:, -1] == d[:, -2]).all()
+
+
+def test_f0_renormalization_batched_parity():
+    """B=2 f0 renorm must flatten voiced stats across the whole batch with
+    Bessel correction, matching the reference's boolean-mask indexing
+    (radtts.py:613-622)."""
+    import torch
+
+    from radtts_tpu.models.radtts import renormalize_f0
+
+    r = np.random.default_rng(3)
+    f0 = (r.random((2, 40)) * 300 + 80).astype(np.float32)
+    vm = (r.random((2, 40)) > 0.4).astype(np.float32)
+    f0 = f0 * vm
+    f0_mean, f0_std = 180.0, 25.0
+
+    t_f0 = torch.tensor(f0.copy())
+    t_vm = torch.tensor(vm).bool()
+    mu, sig = t_f0[t_vm].mean(), t_f0[t_vm].std()
+    t_f0[t_vm] = (t_f0[t_vm] - mu) / sig
+    t_f0[t_vm] = t_f0[t_vm] * f0_std + f0_mean
+
+    ours = np.asarray(renormalize_f0(jnp.asarray(f0), jnp.asarray(vm),
+                                     f0_mean, f0_std))
+    np.testing.assert_allclose(ours, t_f0.numpy(), rtol=1e-5, atol=1e-4)
+
+    # f0_std=0 -> keep source std (reference: f0_std if f0_std > 0 else sig)
+    t2 = torch.tensor(f0.copy())
+    t2[t_vm] = (t2[t_vm] - mu) / sig * sig + f0_mean
+    ours2 = np.asarray(renormalize_f0(jnp.asarray(f0), jnp.asarray(vm),
+                                      f0_mean, 0.0))
+    np.testing.assert_allclose(ours2, t2.numpy(), rtol=1e-5, atol=1e-4)
