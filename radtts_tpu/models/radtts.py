@@ -313,6 +313,8 @@ def preprocess_context(params, context, speaker_vecs, out_lens=None, f0=None,
 
 
 def binarize_attention(attn_soft, in_lens, out_lens):
+    from radtts_tpu.debug import check_finite
+    attn_soft = check_finite(attn_soft, "soft attention map")
     return jax.lax.stop_gradient(
         mas_width1(jax.lax.stop_gradient(attn_soft), out_lens, in_lens))
 
@@ -341,6 +343,9 @@ def _flow_step_forward(params, flow_p, ch, z, context, mask):
         flow_p["affine"], z, context, scaling_fn=meta["scaling_fn"],
         affine_activation=meta["affine_activation"], mask=mask,
         use_partial_padding=meta["decoder_use_partial_padding"])
+    from radtts_tpu.debug import check_finite
+    log_s = check_finite(log_s, "decoder flow log_s")
+    log_det_W = check_finite(log_det_W, "decoder flow log_det_W")
     return z, log_det_W, log_s
 
 

@@ -19,6 +19,8 @@ _EPS32 = float(np.finfo(np.float32).eps)
 def piecewise_linear_forward(x, q_tilde):
     """x: (N, k) in [0,1]; q_tilde: (N, k, b) unnormalized bin heights.
     Returns (y, log_j) with log_j summed over k (N,)."""
+    from radtts_tpu.debug import check_finite
+    x = check_finite(x, "piecewise_linear_forward bin input")
     b = q_tilde.shape[-1]
     w = 1.0 / b
     q = jax.nn.softmax(q_tilde, axis=-1) / w  # normalized slopes
@@ -42,6 +44,8 @@ def piecewise_linear_forward(x, q_tilde):
 
 def piecewise_linear_inverse(y, q_tilde):
     """Inverse of piecewise_linear_forward. Returns (x, log_j)."""
+    from radtts_tpu.debug import check_finite
+    y = check_finite(y, "piecewise_linear_inverse bin input")
     b = q_tilde.shape[-1]
     w = 1.0 / b
     q = jax.nn.softmax(q_tilde, axis=-1) / w
@@ -76,6 +80,8 @@ def piecewise_quadratic(x, w_tilde, v_tilde, inverse=False):
     """Monotone quadratic spline on [0,1) (Neural Importance Sampling
     parametrization). x: (...,); w_tilde: (..., K); v_tilde: (..., K+1).
     Returns (y, log_j) (log_j is None for inverse)."""
+    from radtts_tpu.debug import check_finite
+    x = check_finite(x, "piecewise_quadratic bin input")
     eps = _EPS32
     w = jax.nn.softmax(w_tilde, axis=-1)
     v = _weighted_softmax(v_tilde, w)
