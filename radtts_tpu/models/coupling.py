@@ -12,6 +12,7 @@ import math
 import jax
 import jax.numpy as jnp
 
+from radtts_tpu.ops import amp
 from radtts_tpu.ops.conv import conv1d_init, conv1d_apply, conv_norm_apply
 from radtts_tpu.ops.static import static
 from radtts_tpu.ops.splines import (piecewise_linear_forward,
@@ -72,12 +73,13 @@ def simple_convnet_init(key, n_in, n_context, final_out, n_layers=2,
 def simple_convnet_apply(params, x, mask=None, use_partial_padding=True):
     meta = params["_meta"]
     k = meta["kernel_size"]
+    x = amp.cast_in(x)
     for i, lp in enumerate(params["layers"]):
         dilation = 2 ** i if meta["with_dilation"] else 1
         x = conv_norm_apply(lp, x, kernel_size=k, dilation=dilation,
                             mask=mask, use_partial_padding=use_partial_padding)
         x = jax.nn.relu(x)
-    return conv1d_apply(params["last"], x)
+    return amp.cast_out(conv1d_apply(params["last"], x))
 
 
 # ---------------------------------------------------------------------------
@@ -107,7 +109,7 @@ def wn_apply(params, z, context, mask=None, affine_activation="softplus",
     meta = params["_meta"]
     k = meta["kernel_size"]
     act = jax.nn.softplus if affine_activation == "softplus" else jax.nn.relu
-    z = jnp.concatenate([z, context], axis=-1)
+    z = amp.cast_in(jnp.concatenate([z, context], axis=-1))
     z = conv1d_apply(params["start"], z)
     output = jnp.zeros_like(z)
     for i in range(meta["n_layers"]):
@@ -116,7 +118,7 @@ def wn_apply(params, z, context, mask=None, affine_activation="softplus",
                                 dilation=dilation, mask=mask,
                                 use_partial_padding=use_partial_padding))
         output = output + act(conv1d_apply(params["res_skip"][i], z))
-    return conv1d_apply(params["end"], output)
+    return amp.cast_out(conv1d_apply(params["end"], output))
 
 
 # ---------------------------------------------------------------------------

@@ -91,22 +91,32 @@ def _apply_mask(tree, mask):
 
 
 def make_train_step(model_config, loss_weights, sigma, optimizer,
-                    trainable_mask, donate=False):
+                    trainable_mask, donate=False, use_amp=False):
     """donate=True aliases params/opt_state buffers (saves HBM on a local
     runtime) but is OFF by default: on tunneled/remote TPU backends donation
     has been measured to serialize each step through the host link
-    (~50 s/step vs 1.2 s/step undonated on a v5e tunnel)."""
+    (~50 s/step vs 1.2 s/step undonated on a v5e tunnel).
+
+    use_amp=True runs the WN/SimpleConvNet coupling predictor stacks in
+    bfloat16 (activations + weights) with everything else — flow state,
+    logdets, fp32 islands, losses, master params, optimizer — in fp32; the
+    TPU equivalent of the reference's torch AMP autocast regions
+    (train.py:364,416-422). bf16 needs no GradScaler."""
+    from radtts_tpu.ops import amp as _amp
+
     n_group_size = model_config["n_group_size"]
 
     def loss_fn(params, batch, rng, binarize, use_kl):
-        out = radtts_forward(
-            params, batch["mel"], batch["speaker_ids"], batch["text"],
-            batch["input_lengths"], batch["output_lengths"],
-            binarize_attention_flag=binarize,
-            attn_prior=batch.get("attn_prior"), f0=batch.get("f0"),
-            energy_avg=batch.get("energy_avg"),
-            voiced_mask=batch.get("voiced_mask"),
-            p_voiced=batch.get("p_voiced"), training=True, dropout_rng=rng)
+        with _amp.scope(use_amp):
+            out = radtts_forward(
+                params, batch["mel"], batch["speaker_ids"], batch["text"],
+                batch["input_lengths"], batch["output_lengths"],
+                binarize_attention_flag=binarize,
+                attn_prior=batch.get("attn_prior"), f0=batch.get("f0"),
+                energy_avg=batch.get("energy_avg"),
+                voiced_mask=batch.get("voiced_mask"),
+                p_voiced=batch.get("p_voiced"), training=True,
+                dropout_rng=rng)
         loss_dict = radtts_loss(
             out, batch["input_lengths"], batch["output_lengths"],
             sigma=sigma, n_group_size=n_group_size,
@@ -274,10 +284,11 @@ def train(config, output_directory, epochs, optim_algo, learning_rate,
           kl_loss_start_iter=-1, unfreeze_modules="all", log_interval=1,
           profile_dir="", profile_start_iter=5, profile_n_iters=5,
           **kwargs):
-    """use_amp is accepted for config parity but mixed precision is built
-    in on TPU: matmuls/convs run bf16-pass by default with fp32 pinned on
-    the reference's autocast-false islands (invertible 1x1s, text encoder),
-    and no loss scaler is needed in bf16 — so the flag is a no-op here.
+    """use_amp=true runs the coupling predictor conv stacks in bfloat16
+    (see make_train_step) — the TPU analogue of the reference's AMP
+    autocast; fp32 stays pinned on the reference's autocast-false islands
+    (invertible 1x1s, text encoder) either way, and bf16 needs no loss
+    scaler, so there is no GradScaler equivalent.
 
     log_interval > 1 skips the per-iteration scalar host syncs on all but
     every Nth step (each float() costs a full host round trip on tunneled
@@ -336,7 +347,8 @@ def train(config, output_directory, epochs, optim_algo, learning_rate,
         iteration = meta["iteration"] + 1
 
     train_step = make_train_step(model_config, loss_weights, sigma,
-                                 optimizer, trainable_mask)
+                                 optimizer, trainable_mask,
+                                 use_amp=bool(use_amp))
 
     ignore_keys = ["training_files", "validation_files"]
     trainset = Data(data_config["training_files"],
