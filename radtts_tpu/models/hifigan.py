@@ -28,7 +28,13 @@ class AttrDict(dict):
 
 def conv_transpose1d_apply(params, x, stride, padding):
     """x: (B, T, C_in). Weight already stored flipped as (K, C_in, C_out)
-    so that an lhs-dilated conv reproduces torch ConvTranspose1d."""
+    so that an lhs-dilated conv reproduces torch ConvTranspose1d.
+
+    A polyphase depth-to-space rewrite (one stride-1 conv emitting all
+    `stride` phases as channels) was A/B-measured on-chip and is SLOWER
+    (22 vs 16 ms for the full generator): XLA's TPU conv emitter already
+    skips the inserted zeros of lhs_dilation, and the depth-to-space
+    reshape breaks fusion with the following MRF stack. Keep lhs-dilated."""
     w = params["w"].astype(x.dtype)
     k = w.shape[0]
     y = lax.conv_general_dilated(

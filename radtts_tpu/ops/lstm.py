@@ -95,8 +95,8 @@ def spectral_norm_update(params):
     return walk(params)
 
 
-def _cell_step(w_ih, w_hh_t, b, x_t, h, c):
-    gates = x_t @ w_ih + h @ w_hh_t + b
+def _cell_step(w_hh_t, gx_t, h, c):
+    gates = gx_t + h @ w_hh_t
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
@@ -108,6 +108,11 @@ def lstm_apply(params, x, lengths=None, h0=None, c0=None):
 
     Where t >= lengths[b], the carry is frozen and the output is zero
     (pack/pad_packed semantics).
+
+    The input projection x @ w_ih (+ biases) is hoisted OUT of the scan as
+    one (B·T, in) x (in, 4H) MXU matmul; the scan body keeps only the
+    recurrent h @ w_hh term — the per-step work the hardware is actually
+    forced to serialize. Same math as torch's fused gates, just batched.
     """
     B, T, _ = x.shape
     H = params["b_ih"].shape[0] // 4
@@ -118,7 +123,8 @@ def lstm_apply(params, x, lengths=None, h0=None, c0=None):
     h_init = jnp.zeros((B, H), x.dtype) if h0 is None else h0
     c_init = jnp.zeros((B, H), x.dtype) if c0 is None else c0
 
-    xs = jnp.swapaxes(x, 0, 1)  # (T, B, in)
+    gx = x @ w_ih + b                 # (B, T, 4H) — one big matmul
+    gxs = jnp.swapaxes(gx, 0, 1)      # (T, B, 4H)
     if lengths is None:
         valid = jnp.ones((T, B), bool)
     else:
@@ -126,15 +132,15 @@ def lstm_apply(params, x, lengths=None, h0=None, c0=None):
 
     def step(carry, inp):
         h, c = carry
-        x_t, v_t = inp
-        h_new, c_new = _cell_step(w_ih, w_hh_t, b, x_t, h, c)
+        gx_t, v_t = inp
+        h_new, c_new = _cell_step(w_hh_t, gx_t, h, c)
         v = v_t[:, None]
         h = jnp.where(v, h_new, h)
         c = jnp.where(v, c_new, c)
         out = jnp.where(v, h_new, jnp.zeros_like(h_new))
         return (h, c), out
 
-    (h_fin, c_fin), ys = lax.scan(step, (h_init, c_init), (xs, valid))
+    (h_fin, c_fin), ys = lax.scan(step, (h_init, c_init), (gxs, valid))
     return jnp.swapaxes(ys, 0, 1), (h_fin, c_fin)
 
 

@@ -34,6 +34,24 @@ def mel_basis(sampling_rate, n_fft, n_mels, fmin, fmax):
     return mel_filterbank(sampling_rate, n_fft, n_mels, fmin, fmax)
 
 
+@functools.lru_cache(maxsize=4)
+def _idft_bases(n_fft):
+    """Real iDFT as two (n_freq, n_fft) matmul bases:
+    x[n] = sum_k w_k (re_k cos(2pi k n/N) - im_k sin(2pi k n/N)) / N,
+    w_k = 2 except DC and Nyquist. TPU's FFT lowering is ~17x slower than
+    an MXU matmul at denoiser shapes (measured: irfft 37 ms vs 2.1 ms for
+    (609, 513) @ (513, 1024) on one chip), so the inverse goes via matmuls."""
+    F = n_fft // 2 + 1
+    k = (np.arange(F)[:, None] * np.arange(n_fft)[None, :]
+         * (2.0 * np.pi / n_fft))
+    w = np.full((F, 1), 2.0, np.float64)
+    w[0] = 1.0
+    w[-1] = 1.0
+    icos = (np.cos(k) * w / n_fft).astype(np.float32)
+    isin = (np.sin(k) * w / n_fft).astype(np.float32)
+    return icos, isin
+
+
 def frame_signal(audio, n_fft, hop_length):
     """audio: (B, n) -> frames (B, T, n_fft) with reflect padding n_fft//2."""
     pad = n_fft // 2
@@ -59,11 +77,16 @@ def istft(magnitude, phase, n_fft=1024, hop_length=256, win_length=1024):
     """Inverse STFT via irfft + overlap-add with window-sumsquare correction
     (reference: audio_processing.py:257-286). magnitude/phase: (B, T, F)."""
     B, T, _ = magnitude.shape
-    # build the complex spectrum via lax.complex (complex exp is not
-    # implemented by every TPU backend in eager mode)
-    spec = jax.lax.complex(magnitude * jnp.cos(phase),
-                           magnitude * jnp.sin(phase))
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # (B, T, n_fft)
+    # real iDFT via two MXU matmuls instead of jnp.fft.irfft (see _idft_bases;
+    # HIGHEST precision keeps fp32 accumulation — error vs irfft ~1e-6 at
+    # unit magnitudes, and the matmul is trivially cheap at these shapes)
+    icos, isin = _idft_bases(n_fft)
+    re = magnitude * jnp.cos(phase)
+    im = magnitude * jnp.sin(phase)
+    frames = (jnp.matmul(re, jnp.asarray(icos),
+                         precision=jax.lax.Precision.HIGHEST)
+              - jnp.matmul(im, jnp.asarray(isin),
+                           precision=jax.lax.Precision.HIGHEST))
     w = jnp.asarray(hann_window(win_length, n_fft))
     frames = frames * w[None, None, :]
 
