@@ -31,9 +31,9 @@ from radtts_tpu.ops.invertible import (inv1x1_forward, inv1x1_init,
                                        inv1x1_inverse)
 from radtts_tpu.ops.linear import (dense_layer_apply, dense_layer_init,
                                    linear_apply, linear_init)
-from radtts_tpu.ops.lstm import (bilstm_apply, bilstm_init, lstm_apply,
-                                 lstm_cell_init, stacked_lstm_apply,
-                                 stacked_lstm_init)
+from radtts_tpu.ops.lstm import (bilstm_apply, bilstm_apply_multi,
+                                 bilstm_init, lstm_apply, lstm_cell_init,
+                                 stacked_lstm_apply, stacked_lstm_init)
 from radtts_tpu.ops.masking import sequence_mask
 from radtts_tpu.ops.static import static
 
@@ -134,10 +134,9 @@ def conv_lstm_linear_init(key, in_dim, out_dim, n_layers=2, n_channels=256,
     return p
 
 
-def conv_lstm_linear_apply(params, x, lens=None, *, training=False,
-                           dropout_rng=None):
-    """x: (B, T, C). Masked equivalent of the reference's per-sample conv
-    loop + packed LSTM."""
+def _conv_lstm_linear_front(params, x, lens=None, *, training=False,
+                            dropout_rng=None):
+    """The conv stack (everything before the recurrence)."""
     meta = params["_meta"]
     k = meta["kernel_size"]
     mask = None if lens is None else sequence_mask(lens, x.shape[1])
@@ -153,6 +152,16 @@ def conv_lstm_linear_apply(params, x, lens=None, *, training=False,
             x = jnp.where(keep, x / (1.0 - meta["p_dropout"]), 0.0)
         if mf is not None:
             x = x * mf
+    return x
+
+
+def conv_lstm_linear_apply(params, x, lens=None, *, training=False,
+                           dropout_rng=None):
+    """x: (B, T, C). Masked equivalent of the reference's per-sample conv
+    loop + packed LSTM."""
+    meta = params["_meta"]
+    x = _conv_lstm_linear_front(params, x, lens, training=training,
+                                dropout_rng=dropout_rng)
     if meta["lstm_type"]:
         if meta["lstm_type"] == "bilstm":
             x = bilstm_apply(params["lstm"], x, lens)
@@ -214,6 +223,45 @@ def dap_forward(params, txt_enc, spk_emb, x, lens, *, training=False,
 def dap_infer(params, z, txt_enc, spk_emb, lens=None):
     out = dap_forward(params, txt_enc, spk_emb, None, lens)["x_hat"]
     return attr_denormalize(out, params["_meta"]["take_log_of_input"])
+
+
+def dap_bilstm_shape(params):
+    """(input_size, hidden_size) of this DAP's BiLSTM, or None when the
+    model is not a fusable ConvLSTMLinear-BiLSTM DAP. Static (trace-time)."""
+    if params.get("_kind", {}).get("name") != "dap":
+        return None
+    if params["_meta"]["use_transformer"]:
+        return None
+    feat = params["feat"]
+    if feat["_meta"]["lstm_type"] != "bilstm":
+        return None
+    cell = feat["lstm"]["fwd"]
+    return (cell["w_ih"].shape[0], cell["w_ih"].shape[1] // 4)
+
+
+def dap_infer_fused(params_list, txt_list, spk_list, lens=None):
+    """Infer M DAP models whose BiLSTMs share shapes with ONE fused scan.
+
+    Equivalent to [dap_infer(p, None, t, s, lens) for ...] — the conv fronts
+    and dense heads stay per-model; only the recurrences (the serial part)
+    are batched together (see ops/lstm.bilstm_apply_multi). Used by
+    radtts_infer to overlap the f0 and energy predictors
+    (reference runs them back to back: radtts.py:605-625)."""
+    fronts = []
+    for p, txt, spk in zip(params_list, txt_list, spk_list):
+        h = bottleneck_apply(p["bottleneck"], txt)
+        spk_b = jnp.broadcast_to(spk[:, None, :],
+                                 (h.shape[0], h.shape[1], spk.shape[-1]))
+        context = jnp.concatenate([h, spk_b], axis=-1)
+        fronts.append(_conv_lstm_linear_front(p["feat"], context, lens))
+    lstm_outs = bilstm_apply_multi([p["feat"]["lstm"] for p in params_list],
+                                   fronts, lens)
+    outs = []
+    for p, y in zip(params_list, lstm_outs):
+        if p["feat"]["_meta"]["use_linear"]:
+            y = linear_apply(p["feat"]["dense"], y)
+        outs.append(attr_denormalize(y, p["_meta"]["take_log_of_input"]))
+    return outs
 
 
 # ---------------------------------------------------------------------------

@@ -14,7 +14,8 @@ from jax import lax
 from radtts_tpu.convert import t2j
 from radtts_tpu.ops.conv import conv1d_apply
 from radtts_tpu.ops.static import static
-from radtts_tpu.ops.stft import istft, stft_magnitude_phase
+from radtts_tpu.ops.stft import (istft_reim, stft_magnitude_phase,
+                                 stft_reim)
 
 LRELU_SLOPE = 0.1
 _DIMNUMS = ("NHC", "HIO", "NHC")
@@ -300,10 +301,20 @@ def denoiser_init(generator_params, filter_length=1024, n_overlap=4,
 
 
 def denoiser_apply(params, audio, strength=0.1):
-    """audio: (B, n). Subtract strength x vocoder bias spectrum."""
+    """audio: (B, n). Subtract strength x vocoder bias spectrum.
+
+    Magnitude-domain subtraction at unchanged phase == rescaling the complex
+    spectrum by (mag - strength*bias)+ / mag, so the whole round trip stays
+    in (re, im): no angle/cos/sin transcendentals, and both DFTs ride the
+    MXU (see ops/stft.py matmul bases). Bit-equivalent to the reference's
+    magnitude/phase formulation (hifigan_denoiser.py:54-59) up to fp32
+    rounding."""
     meta = params["_meta"]
-    spec, phase = stft_magnitude_phase(
-        audio, meta["filter_length"], meta["hop_length"], meta["win_length"])
-    spec = jnp.clip(spec - params["bias_spec"] * strength, 0.0)
-    return istft(spec, phase, meta["filter_length"], meta["hop_length"],
-                 meta["win_length"])
+    re, im = stft_reim(audio, meta["filter_length"], meta["hop_length"],
+                       meta["win_length"])
+    mag = jnp.sqrt(re * re + im * im)
+    tiny = jnp.finfo(jnp.float32).tiny
+    scale = jnp.clip(mag - params["bias_spec"] * strength, 0.0) / \
+        jnp.maximum(mag, tiny)
+    return istft_reim(re * scale, im * scale, meta["filter_length"],
+                      meta["hop_length"], meta["win_length"])

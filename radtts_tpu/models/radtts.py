@@ -599,6 +599,26 @@ def radtts_infer(params, rng, speaker_id, text, sigma, max_frames, *,
             f0_bias = _unvoiced_bias(params, meta, txt_enc_time_expanded,
                                      voiced_mask)
 
+        # When both f0 and energy come from fusable ConvLSTMLinear-BiLSTM
+        # DAPs (the flagship config), run their recurrences as ONE scan —
+        # DAP ignores the sampling residual, so the fused path is exactly
+        # the two dap_infer calls batched (reference runs them back to
+        # back: radtts.py:605-625).
+        from radtts_tpu.models.attributes import (dap_bilstm_shape,
+                                                  dap_infer_fused)
+        f0_lstm = dap_bilstm_shape(params["f0_pred_module"]) \
+            if f0 is None and "f0_pred_module" in params else None
+        e_lstm = dap_bilstm_shape(params["energy_pred_module"]) \
+            if energy_avg is None and "energy_pred_module" in params else None
+        if (f0 is None and energy_avg is None and f0_lstm is not None
+                and f0_lstm == e_lstm):
+            f0_raw, e_raw = dap_infer_fused(
+                [params["f0_pred_module"], params["energy_pred_module"]],
+                [ap_txt_enc, ap_txt_enc], [spk_vec_attrs, spk_vec],
+                out_lens)
+            f0 = _f0_postprocess(meta, f0_raw, voiced_mask)[..., 0]
+            energy_avg = _energy_postprocess(meta, e_raw)[..., 0]
+
         if f0 is None:
             n_f0_ch = 2 if meta["use_first_order_features"] else 1
             if z_f0 is None:
@@ -661,9 +681,12 @@ def infer_f0(params, residual, txt_enc_time_expanded, spk_vec,
              voiced_mask=None, lens=None):
     """(reference: radtts.py:686-718) attribute flow/regressor sampling plus
     the magic rescaling constants."""
-    meta = params["_meta"]
     f0 = attribute_model_infer(params["f0_pred_module"], residual,
                                txt_enc_time_expanded, spk_vec, lens)
+    return _f0_postprocess(params["_meta"], f0, voiced_mask)
+
+
+def _f0_postprocess(meta, f0, voiced_mask=None):
     if meta["ap_pred_log_f0"]:
         if meta["use_first_order_features"]:
             f0 = f0[..., 0:1] / 3.0
@@ -689,9 +712,12 @@ def infer_f0(params, residual, txt_enc_time_expanded, spk_vec,
 
 def infer_energy(params, residual, txt_enc_time_expanded, spk_vec, lens):
     """(reference: radtts.py:720-730)."""
-    meta = params["_meta"]
     energy = attribute_model_infer(params["energy_pred_module"], residual,
                                    txt_enc_time_expanded, spk_vec, lens)
+    return _energy_postprocess(params["_meta"], energy)
+
+
+def _energy_postprocess(meta, energy):
     if meta["use_first_order_features"]:
         energy = energy[..., 0:1] / 3.0
     else:

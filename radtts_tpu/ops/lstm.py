@@ -153,21 +153,75 @@ def reverse_padded(x, lengths):
     return jnp.take_along_axis(x, idx[:, :, None], axis=1)
 
 
+def bilstm_apply_multi(params_seq, xs, lengths=None):
+    """Run M identically-shaped BiLSTMs as ONE scan.
+
+    params_seq: M bilstm param dicts (same input/hidden sizes); xs: M arrays
+    (B, T, C) sharing lengths. All 2M direction-cells are batched along a
+    leading axis, so the per-step recurrent matmul becomes a
+    (2M,B,H)x(2M,H,4H) batched matmul. Scan steps are serialization overhead
+    on TPU — the per-step FLOPs are tiny and the sequencer/loop cost
+    dominates — so one scan of T steps beats 2M.
+
+    Returns a list of M outputs, each (B, T, 2H) = [fwd ; bwd] in torch's
+    bidirectional=True layout (parity-tested against the separate path)."""
+    B, T, _ = xs[0].shape
+    dtype = xs[0].dtype
+    H = params_seq[0]["fwd"]["b_ih"].shape[0] // 4
+
+    if lengths is None:
+        valid = jnp.ones((T, B), bool)
+    else:
+        valid = (jnp.arange(T)[:, None] < lengths[None, :])
+
+    gx_all, whh_all = [], []
+    for p, x in zip(params_seq, xs):
+        xr = (jnp.flip(x, axis=1) if lengths is None
+              else reverse_padded(x, lengths))
+        for cell, xin in ((p["fwd"], x), (p["bwd"], xr)):
+            # input projection hoisted out of the scan as one big matmul
+            gx = xin @ cell["w_ih"].astype(dtype) + \
+                (cell["b_ih"] + cell["b_hh"]).astype(dtype)
+            gx_all.append(jnp.swapaxes(gx, 0, 1))        # (T, B, 4H)
+            whh_all.append(effective_hh(cell["hh"]).T)
+    gxs = jnp.stack(gx_all, axis=1)                      # (T, 2M, B, 4H)
+    w_hh_t = jnp.stack(whh_all).astype(dtype)            # (2M, H, 4H)
+    D = len(gx_all)
+
+    def step(carry, inp):
+        h, c = carry                          # each (D, B, H)
+        gx_t, v_t = inp                       # (D, B, 4H), (B,)
+        gates = gx_t + jnp.einsum("dbh,dhg->dbg", h, w_hh_t)
+        i, fg, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(fg) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        v = v_t[None, :, None]
+        h = jnp.where(v, h_new, h)
+        c = jnp.where(v, c_new, c)
+        out = jnp.where(v, h_new, jnp.zeros_like(h_new))
+        return (h, c), out
+
+    init = (jnp.zeros((D, B, H), dtype), jnp.zeros((D, B, H), dtype))
+    _, ys = lax.scan(step, init, (gxs, valid))           # ys: (T, D, B, H)
+
+    outs = []
+    for m in range(len(params_seq)):
+        out_f = jnp.swapaxes(ys[:, 2 * m], 0, 1)
+        out_b = jnp.swapaxes(ys[:, 2 * m + 1], 0, 1)
+        if lengths is None:
+            out_b = jnp.flip(out_b, axis=1)
+        else:
+            out_b = reverse_padded(out_b, lengths)
+            out_b = out_b * valid.T[:, :, None].astype(out_b.dtype)
+        outs.append(jnp.concatenate([out_f, out_b], axis=-1))
+    return outs
+
+
 def bilstm_apply(params, x, lengths=None):
     """Bidirectional masked LSTM; returns (B, T, 2H) = [fwd ; bwd] like
-    torch's bidirectional=True output layout."""
-    out_f, _ = lstm_apply(params["fwd"], x, lengths)
-    if lengths is None:
-        xr = jnp.flip(x, axis=1)
-        out_b, _ = lstm_apply(params["bwd"], xr, None)
-        out_b = jnp.flip(out_b, axis=1)
-    else:
-        xr = reverse_padded(x, lengths)
-        out_b, _ = lstm_apply(params["bwd"], xr, lengths)
-        out_b = reverse_padded(out_b, lengths)
-        valid = (jnp.arange(x.shape[1])[None, :] < lengths[:, None])
-        out_b = out_b * valid[:, :, None].astype(out_b.dtype)
-    return jnp.concatenate([out_f, out_b], axis=-1)
+    torch's bidirectional=True output layout. Fwd+bwd run as one scan
+    (see bilstm_apply_multi)."""
+    return bilstm_apply_multi([params], [x], lengths)[0]
 
 
 def bilstm_init(key, input_size, hidden_size, norm=None):

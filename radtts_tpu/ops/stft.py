@@ -52,6 +52,18 @@ def _idft_bases(n_fft):
     return icos, isin
 
 
+@functools.lru_cache(maxsize=4)
+def _dft_bases(n_fft):
+    """Forward real DFT as two (n_fft, n_freq) matmul bases:
+    re_k = sum_n x[n] cos(2pi k n/N), im_k = -sum_n x[n] sin(2pi k n/N).
+    Same rationale as _idft_bases: the TPU FFT lowering loses to an MXU
+    matmul by an order of magnitude at denoiser shapes."""
+    F = n_fft // 2 + 1
+    k = (np.arange(n_fft)[:, None] * np.arange(F)[None, :]
+         * (2.0 * np.pi / n_fft))
+    return np.cos(k).astype(np.float32), (-np.sin(k)).astype(np.float32)
+
+
 def frame_signal(audio, n_fft, hop_length):
     """audio: (B, n) -> frames (B, T, n_fft) with reflect padding n_fft//2."""
     pad = n_fft // 2
@@ -73,16 +85,29 @@ def stft_magnitude_phase(audio, n_fft=1024, hop_length=256, win_length=1024):
     return mag, phase
 
 
-def istft(magnitude, phase, n_fft=1024, hop_length=256, win_length=1024):
-    """Inverse STFT via irfft + overlap-add with window-sumsquare correction
-    (reference: audio_processing.py:257-286). magnitude/phase: (B, T, F)."""
-    B, T, _ = magnitude.shape
+def stft_reim(audio, n_fft=1024, hop_length=256, win_length=1024):
+    """audio: (B, n) -> (re, im) each (B, T, n_fft//2+1), via the matmul
+    DFT bases (MXU) rather than jnp.fft.rfft (slow TPU lowering)."""
+    frames = frame_signal(audio, n_fft, hop_length)
+    w = jnp.asarray(hann_window(win_length, n_fft))
+    fw = frames * w[None, None, :]
+    cosF, nsinF = _dft_bases(n_fft)
+    re = jnp.matmul(fw, jnp.asarray(cosF),
+                    precision=jax.lax.Precision.HIGHEST)
+    im = jnp.matmul(fw, jnp.asarray(nsinF),
+                    precision=jax.lax.Precision.HIGHEST)
+    return re, im
+
+
+def istft_reim(re, im, n_fft=1024, hop_length=256, win_length=1024):
+    """Inverse STFT from the complex spectrum's (re, im) parts via matmul
+    iDFT + overlap-add with window-sumsquare correction
+    (reference: audio_processing.py:257-286). re/im: (B, T, F)."""
+    B, T, _ = re.shape
     # real iDFT via two MXU matmuls instead of jnp.fft.irfft (see _idft_bases;
     # HIGHEST precision keeps fp32 accumulation — error vs irfft ~1e-6 at
     # unit magnitudes, and the matmul is trivially cheap at these shapes)
     icos, isin = _idft_bases(n_fft)
-    re = magnitude * jnp.cos(phase)
-    im = magnitude * jnp.sin(phase)
     frames = (jnp.matmul(re, jnp.asarray(icos),
                          precision=jax.lax.Precision.HIGHEST)
               - jnp.matmul(im, jnp.asarray(isin),
@@ -119,6 +144,13 @@ def istft(magnitude, phase, n_fft=1024, hop_length=256, win_length=1024):
     sig = jnp.where(wss[None, :] > tiny, sig / jnp.maximum(wss, tiny), sig)
     pad = n_fft // 2
     return sig[:, pad:-pad]
+
+
+def istft(magnitude, phase, n_fft=1024, hop_length=256, win_length=1024):
+    """Inverse STFT from (magnitude, phase): the reference-shaped interface
+    (audio_processing.py:257-286). magnitude/phase: (B, T, F)."""
+    return istft_reim(magnitude * jnp.cos(phase), magnitude * jnp.sin(phase),
+                      n_fft, hop_length, win_length)
 
 
 def griffin_lim(rng, magnitudes, n_iters=30, n_fft=1024, hop_length=256,

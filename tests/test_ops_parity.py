@@ -140,3 +140,28 @@ def test_masked_instance_norm_matches_per_sample():
         x.numpy().transpose(0, 2, 1)), mask)
     np.testing.assert_allclose(_np(yj), ref.numpy().transpose(0, 2, 1),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_bilstm_multi_matches_separate():
+    """M fused BiLSTMs (one scan) == M separate bilstm_apply calls."""
+    import jax
+    from radtts_tpu.ops.lstm import bilstm_apply_multi, bilstm_init
+
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3, kx1, kx2 = jax.random.split(key, 5)
+    B, T, D, H = 3, 17, 6, 4
+    p1 = bilstm_init(k1, D, H)
+    p2 = bilstm_init(k2, D, H, norm="spectral")
+    x1 = jax.random.normal(kx1, (B, T, D))
+    x2 = jax.random.normal(kx2, (B, T, D))
+    lens = jnp.asarray([17, 9, 2])
+
+    fused = bilstm_apply_multi([p1, p2], [x1, x2], lens)
+    np.testing.assert_allclose(_np(fused[0]), _np(bilstm_apply(p1, x1, lens)),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(_np(fused[1]), _np(bilstm_apply(p2, x2, lens)),
+                               rtol=1e-6, atol=1e-6)
+    # lengths=None path
+    fused_n = bilstm_apply_multi([p1, p2], [x1, x2], None)
+    np.testing.assert_allclose(_np(fused_n[1]), _np(bilstm_apply(p2, x2)),
+                               rtol=1e-6, atol=1e-6)
