@@ -89,9 +89,14 @@ def main():
         out = radtts_infer(params, r_dec, speaker, text_ids, 0.8,
                            max_frames, dur=dur, sigma_f0=1.0,
                            sigma_energy=1.0)
-        audio = hifigan_generator_apply(vocoder, out["mel"])
+        audio = hifigan_generator_apply(vocoder, out["mel"],
+                                        mrf_impl=mrf_impl)
         audio = denoiser_apply(denoiser, audio, strength=0.01)
         return audio, jnp.sum(audio[:, :8])
+
+    # fused Pallas MRF kernel for the narrow vocoder stages on TPU
+    # (ops/pallas_mrf.py; interleaved A/B: 1.7-2.3x per stage vs XLA)
+    mrf_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     rng = jax.random.PRNGKey(2)
     text_ids = jnp.asarray(encoded)
@@ -113,27 +118,26 @@ def main():
             return chain, audio[0, :4]
         return lax.scan(body, chain0, keys)
 
-    # compile + warmup; sync via scalar host transfer (authoritative even
-    # where block_until_ready does not actually block)
+    # compile + warmup both trip counts; sync via scalar host transfer
+    # (authoritative even where block_until_ready does not actually block)
     chain = jnp.zeros((), jnp.float32)
-    chain_out, _ = run_iters(params, vocoder, denoiser, keys, chain)
-    float(chain_out)
+    for kk in (keys, keys[:1]):
+        float(run_iters(params, vocoder, denoiser, kk, chain)[0])
 
-    # measure the dispatch+sync round-trip itself so it can be subtracted
-    # (one tiny eager op + host transfer, same shape as the run's sync)
-    t0 = time.perf_counter()
-    for i in range(3):
-        float(chain_out + jnp.float32(i))
-    sync_rt = (time.perf_counter() - t0) / 3
-
-    best = None
-    for _ in range(3):
+    # Difference method: the dispatch+sync round trip through the tunnel is
+    # large and weather-dependent (0.7 ms to 1+ s observed), so time the
+    # 10-iteration scan against the 1-iteration scan — identical overhead
+    # on both calls cancels in the difference.
+    def timecall(kk):
         tic = time.perf_counter()
-        chain_out, _ = run_iters(params, vocoder, denoiser, keys, chain)
-        float(chain_out)
-        t = (time.perf_counter() - tic - sync_rt) / n_iters
-        best = t if best is None else min(best, t)
-    elapsed = best
+        float(run_iters(params, vocoder, denoiser, kk, chain)[0])
+        return time.perf_counter() - tic
+
+    t_long, t_short = [], []
+    for _ in range(5):
+        t_long.append(timecall(keys))
+        t_short.append(timecall(keys[:1]))
+    elapsed = max(min(t_long) - min(t_short), 1e-9) / (n_iters - 1)
 
     audio_seconds = max_frames * HOP / SR
     rtf = elapsed / audio_seconds

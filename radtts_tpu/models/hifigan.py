@@ -248,19 +248,42 @@ def gaussian_blur_augmentation(rng, mel, kernel_size=(5, 5),
                      blurred)
 
 
-def hifigan_generator_apply(params, mel):
-    """mel: (B, T, 80) -> waveform (B, T * prod(upsample_rates))."""
+def _mrf_is_pallas_compatible(meta, rk, rd):
+    from radtts_tpu.ops.pallas_mrf import DILATIONS, KERNEL_SIZES
+    return (meta["resblock"] == "1"
+            and tuple(rk) == KERNEL_SIZES[: len(rk)]
+            and all(tuple(d) == DILATIONS for d in rd))
+
+
+def hifigan_generator_apply(params, mel, *, mrf_impl="xla"):
+    """mel: (B, T, 80) -> waveform (B, T * prod(upsample_rates)).
+
+    mrf_impl: "xla" (default, runs anywhere) or "pallas" — route each
+    upsample stage's resblock stack through the fused TPU kernel
+    (ops/pallas_mrf.py) when the architecture matches the standard
+    (3,7,11)x(1,3,5) ResBlock1 MRF. The CLIs and bench enable it on TPU."""
     meta = params["_meta"]
     rates = meta["upsample_rates"]
     kernels = meta["upsample_kernel_sizes"]
     rk = meta["resblock_kernel_sizes"]
     rd = meta["resblock_dilation_sizes"]
     is_rb1 = meta["resblock"] == "1"
+    use_pallas = (mrf_impl == "pallas"
+                  and _mrf_is_pallas_compatible(meta, rk, rd))
+    if use_pallas:
+        from radtts_tpu.ops.pallas_mrf import (mrf_weights_from_params,
+                                               pallas_mrf)
 
     x = conv1d_apply(params["conv_pre"], mel, padding=3)
     for i, (u, k) in enumerate(zip(rates, kernels)):
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         x = conv_transpose1d_apply(params["ups"][i], x, u, (k - u) // 2)
+        if use_pallas and x.shape[-1] <= 128:
+            # C=256 stages don't fit VMEM (k=11 weight stacks alone are
+            # 17 MB) and are cheap under XLA; fuse only the narrow stages
+            x = pallas_mrf(x, mrf_weights_from_params(
+                params["resblocks"][i]), tile=1024)
+            continue
         xs = jnp.zeros_like(x)
         for j, block in enumerate(params["resblocks"][i]):
             if is_rb1:

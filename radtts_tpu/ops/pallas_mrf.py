@@ -1,0 +1,149 @@
+"""Pallas TPU kernel: fused HiFi-GAN multi-receptive-field (MRF) resblock
+stack for the narrow-channel upsample stages.
+
+Motivation (measured on v5e, scripts/ab_gen_cut.py): the C=64 and C=32
+stages cost ~7 of the generator's ~9 ms true compute while running at
+11-30 TFLOP/s — every one of their 18 small convs round-trips activations
+through HBM at 25-50% lane utilization, and XLA keeps fusion boundaries
+between them. This kernel computes the ENTIRE MRF —
+
+    mean_k RB_k(x),   RB_k(x): 3x [x += conv_{k,1}(lrelu(conv_{k,d}(
+                                   lrelu(x)))),  d in (1,3,5)]
+
+(reference: hifigan_models.py:83-148, 200-215) — in VMEM: one read of the
+tile, one write of the mean, with each conv a rolled-window matmul
+(P, k*C) x (k*C, C) on the MXU.
+
+Halo: each RB_k chain reaches sum_i (d_i+1)(k-1)/2 = 6(k-1) frames; x is
+pre-padded by HALO=60 zeros (= the k=11 chain), which also supplies the
+zero-padding the reference convs see at sequence ends. Interior tiles read
+their neighbors' frames through overlapping tile views built with strided
+slices at the XLA level (BlockSpec blocks cannot overlap).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+KERNEL_SIZES = (3, 7, 11)
+DILATIONS = (1, 3, 5)
+HALO = 60            # 6 * (11 - 1): reach of the deepest RB chain
+LRELU_SLOPE = 0.1
+
+
+def _lrelu(x):
+    return jnp.where(x >= 0, x, LRELU_SLOPE * x)
+
+
+def _conv_valid(buf, w, b, k, d):
+    """buf: (P, C) value. Same-size output y[t] = conv(buf)[t]; rows within
+    reach of the buffer edge wrap (garbage) but stay inside the halo
+    margin. Window build = rolls concatenated on lanes, chunked so each
+    (P, taps*C) slab stays ~2.5 MB of VMEM; one MXU dot per slab."""
+    half = (k - 1) // 2
+    P, C = buf.shape
+    taps = max(1, int(2.5e6 / (P * C * 4)))
+    y = None
+    for j0 in range(0, k, taps):
+        jj = range(j0, min(j0 + taps, k))
+        # pltpu.roll requires non-negative shifts; -o mod P is the same
+        cols = [pltpu.roll(buf, (-(j - half) * d) % P, axis=0) for j in jj]
+        win = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+        part = jax.lax.dot_general(
+            win, w[j0 * C:(j0 + len(cols)) * C],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = part if y is None else y + part
+    return y + b                                      # b: (1, C)
+
+
+def _make_kernel(n_rb, tile, n_tiles, T, P):
+    def kernel(x_ref, *refs):
+        o_ref = refs[-1]
+        x = x_ref[0]                                   # (P, C) fp32
+        # Global frame index of each buffer row: intermediates outside the
+        # true sequence [0, T) must be ZERO after every conv (the reference
+        # zero-pads each conv input at the sequence ends; a fused chain
+        # would otherwise propagate nonzero out-of-range values back in).
+        i_tile = pl.program_id(0) % n_tiles
+        tglob = (i_tile * tile - HALO
+                 + jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0))
+        inside = jnp.logical_and(tglob >= 0, tglob < T)
+        acc = None
+        for m in range(n_rb):
+            k = KERNEL_SIZES[m]
+            w1, b1, w2, b2 = refs[4 * m: 4 * m + 4]
+            xr = x
+            for i, d in enumerate(DILATIONS):
+                xt = _conv_valid(_lrelu(xr), w1[i], b1[i], k, d)
+                xt = jnp.where(inside, xt, 0.0)
+                xt = _conv_valid(_lrelu(xt), w2[i], b2[i], k, 1)
+                xt = jnp.where(inside, xt, 0.0)
+                xr = xr + xt
+            acc = xr if acc is None else acc + xr
+        o_ref[0] = acc[HALO:HALO + tile] * (1.0 / n_rb)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def pallas_mrf(x, weights, tile=1024, interpret=False):
+    """x: (B, T, C) fp32. weights: list over kernel sizes (3, 7, 11) of
+    dicts {w1: (3, k, C, C), b1: (3, C), w2: (3, k, C, C), b2: (3, C)},
+    w*[i] being the dilation-(1,3,5)[i] conv taps (taps-major, i.e. torch
+    weight (C_out, C_in, k) transposed to (k, C_in, C_out)). Returns the
+    MRF mean (B, T, C). T is padded to a tile multiple internally."""
+    B, T, C = x.shape
+    n_rb = len(weights)
+    Tp = -(-T // tile) * tile
+    xp = jnp.pad(x.astype(jnp.float32),
+                 ((0, 0), (HALO, HALO + Tp - T), (0, 0)))
+    P = tile + 2 * HALO
+
+    flat = []
+    for wd in weights:
+        w1 = wd["w1"].astype(jnp.float32)
+        w2 = wd["w2"].astype(jnp.float32)
+        # biases shaped (3, 1, C): b[i] reads as a 2D (1, C) VMEM row
+        flat += [w1.reshape(3, -1, C),
+                 wd["b1"].astype(jnp.float32).reshape(3, 1, C),
+                 w2.reshape(3, -1, C),
+                 wd["b2"].astype(jnp.float32).reshape(3, 1, C)]
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat]
+
+    # Overlapping tile views built once at the XLA level (strided slices,
+    # ~12% extra HBM traffic at tile=1024): (B * n_tiles, P, C).
+    n_tiles = Tp // tile
+    views = [xp[:, i * tile: i * tile + P] for i in range(n_tiles)]
+    xv = jnp.stack(views, axis=1).reshape(B * n_tiles, P, C)
+
+    out = pl.pallas_call(
+        _make_kernel(n_rb, tile, n_tiles, T, P),
+        out_shape=jax.ShapeDtypeStruct((B * n_tiles, tile, C), jnp.float32),
+        grid=(B * n_tiles,),
+        in_specs=[pl.BlockSpec((1, P, C), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM)] + w_specs,
+        out_specs=pl.BlockSpec((1, tile, C), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xv, *flat)
+
+    out = out.reshape(B, n_tiles * tile, C)
+    return out[:, :T]
+
+
+def mrf_weights_from_params(resblock_group):
+    """Adapt one upsample stage's resblock params (as stored by
+    models/hifigan.py: [{convs1: [{w,b} x3], convs2: [{w,b} x3]} per kernel
+    size]) to this kernel's packed layout."""
+    packed = []
+    for block in resblock_group:
+        packed.append({
+            "w1": jnp.stack([c["w"] for c in block["convs1"]]),
+            "b1": jnp.stack([c["b"] for c in block["convs1"]]),
+            "w2": jnp.stack([c["w"] for c in block["convs2"]]),
+            "b2": jnp.stack([c["b"] for c in block["convs2"]]),
+        })
+    return packed

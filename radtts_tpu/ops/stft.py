@@ -69,6 +69,18 @@ def frame_signal(audio, n_fft, hop_length):
     pad = n_fft // 2
     x = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
     n_frames = 1 + (x.shape[1] - n_fft) // hop_length
+    if n_fft % hop_length == 0:
+        # scatter/gather-free framing (mirror of the istft overlap-add):
+        # with R = n_fft // hop, frame t = concat of hop-sized chunks
+        # t..t+R-1, so R shifted reshape-views concatenated beat a
+        # (T, n_fft)-sized gather (TPU gathers are serialized; measured as
+        # the denoiser's hotspot after the DFT matmuls)
+        R = n_fft // hop_length
+        n_chunks = x.shape[1] // hop_length
+        chunks = x[:, : n_chunks * hop_length].reshape(
+            x.shape[0], n_chunks, hop_length)
+        return jnp.concatenate(
+            [chunks[:, k:k + n_frames] for k in range(R)], axis=-1)
     idx = (jnp.arange(n_frames)[:, None] * hop_length
            + jnp.arange(n_fft)[None, :])
     return x[:, idx]

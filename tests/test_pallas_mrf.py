@@ -1,0 +1,71 @@
+"""Fused Pallas MRF kernel vs the XLA resblock path (interpret mode on CPU).
+
+The kernel must reproduce the reference ResBlock1 semantics exactly,
+including the zero-padding every conv sees at the true sequence ends
+(reference: hifigan_models.py:83-118) — the fused chain has to re-zero
+out-of-range intermediates or boundary frames diverge."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from radtts_tpu.models.hifigan import (hifigan_generator_apply,
+                                       hifigan_generator_init,
+                                       _resblock1_apply)
+from radtts_tpu.ops.pallas_mrf import mrf_weights_from_params, pallas_mrf
+
+H_V1 = {
+    "resblock": "1",
+    "upsample_rates": [8, 8, 2, 2],
+    "upsample_kernel_sizes": [16, 16, 4, 4],
+    "upsample_initial_channel": 512,
+    "resblock_kernel_sizes": [3, 7, 11],
+    "resblock_dilation_sizes": [[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+}
+
+RK = (3, 7, 11)
+RD = ((1, 3, 5),) * 3
+
+
+@pytest.fixture(scope="module")
+def voc():
+    return hifigan_generator_init(jax.random.PRNGKey(1), H_V1)
+
+
+@pytest.mark.parametrize("stage,T,C", [(3, 1000, 32), (2, 700, 64),
+                                       (1, 300, 128)])
+def test_pallas_mrf_matches_xla(voc, stage, T, C):
+    rng = np.random.default_rng(stage)
+    x = jnp.asarray(rng.standard_normal((2, T, C)).astype(np.float32))
+    xs = jnp.zeros_like(x)
+    for j, block in enumerate(voc["resblocks"][stage]):
+        xs = xs + _resblock1_apply(block, x, RK[j], RD[j])
+    ref = xs / 3
+    w = mrf_weights_from_params(voc["resblocks"][stage])
+    out = pallas_mrf(x, w, tile=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_generator_pallas_impl_matches_xla(voc):
+    """Full generator with mrf_impl=pallas (interpret) == default path."""
+    from radtts_tpu.ops import pallas_mrf as pm
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((1, 40, 80)).astype(np.float32))
+    y_xla = hifigan_generator_apply(voc, mel)
+
+    orig = pm.pallas_mrf
+
+    def interp(x, w, tile=1024, interpret=False):
+        return orig(x, w, tile=tile, interpret=True)
+
+    pm.pallas_mrf = interp
+    try:
+        import radtts_tpu.models.hifigan as hg
+        y_pal = hg.hifigan_generator_apply(voc, mel, mrf_impl="pallas")
+    finally:
+        pm.pallas_mrf = orig
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_xla),
+                               rtol=1e-5, atol=1e-5)
