@@ -70,12 +70,27 @@ def main(use_amp, n_iters):
     step = make_train_step(model_config, _LOSS_WEIGHTS, 1.0, optimizer,
                            mask, use_amp=use_amp)
     rng = jax.random.PRNGKey(1)
-    keys = list(jax.random.split(rng, n_iters + 1))
+    keys = jax.random.split(rng, n_iters)
 
-    # compile + warmup; sync via scalar host transfer
-    params, opt_state, total, _, _ = step(params, opt_state, batch,
-                                          keys[-1], True, True)
+    # All timed steps run INSIDE one jitted lax.scan (single dispatch);
+    # params/opt_state chain through the carry so steps serialize
+    # on-device. See docs/DESIGN.md §8: per-dispatch overhead through the
+    # tunnel ranges 0.7 ms to >1 s with tenant load.
+    @jax.jit
+    def run_steps(params, opt_state, batch, kk):
+        def body(carry, key):
+            params, opt_state = carry
+            params, opt_state, total, _, _ = step(params, opt_state, batch,
+                                                  key, True, True)
+            return (params, opt_state), total
+        (params, opt_state), totals = jax.lax.scan(
+            body, (params, opt_state), kk)
+        return params, opt_state, totals[-1]
+
+    # compile + warmup both trip counts; sync via scalar host transfer
+    _, _, total = run_steps(params, opt_state, batch, keys)
     float(total)
+    float(run_steps(params, opt_state, batch, keys[:1])[2])
 
     # flops per step from the compiled HLO
     flops = None
@@ -88,17 +103,18 @@ def main(use_amp, n_iters):
     except Exception as exc:  # cost analysis is best-effort per backend
         print(f"# cost_analysis unavailable: {exc}")
 
-    t0 = time.perf_counter()
-    for i in range(3):
-        float(total + jnp.float32(i))
-    sync_rt = (time.perf_counter() - t0) / 3
+    # difference method: n_iters-step scan minus 1-step scan of the same
+    # program cancels the (weather-dependent) dispatch+sync overhead
+    def timecall(kk):
+        tic = time.perf_counter()
+        float(run_steps(params, opt_state, batch, kk)[2])
+        return time.perf_counter() - tic
 
-    tic = time.perf_counter()
-    for i in range(n_iters):
-        params, opt_state, total, _, _ = step(params, opt_state, batch,
-                                              keys[i], True, True)
-    float(total)  # params/opt_state chain -> steps serialize on-device
-    step_s = (time.perf_counter() - tic - sync_rt) / n_iters
+    t_long, t_short = [], []
+    for _ in range(4):
+        t_long.append(timecall(keys))
+        t_short.append(timecall(keys[:1]))
+    step_s = max(min(t_long) - min(t_short), 1e-9) / (n_iters - 1)
 
     peak, kind = chip_peak_flops()
     mfu = (flops / step_s / peak) if flops else None

@@ -239,6 +239,35 @@ def dap_bilstm_shape(params):
     return (cell["w_ih"].shape[0], cell["w_ih"].shape[1] // 4)
 
 
+def dap_forward_fused(params_list, txt_list, spk_list, x_list, lens=None, *,
+                      training=False, rng_list=None):
+    """Training-forward counterpart of dap_infer_fused: M fusable DAPs with
+    ONE BiLSTM scan. Per-model conv fronts keep their own dropout rngs;
+    outputs match [dap_forward(...) for ...] exactly."""
+    fronts, norm_x = [], []
+    for m, (p, txt, spk) in enumerate(zip(params_list, txt_list, spk_list)):
+        x = x_list[m]
+        if x is not None:
+            x = attr_normalize(x, p["_meta"]["take_log_of_input"])
+        norm_x.append(x)
+        h = bottleneck_apply(p["bottleneck"], txt)
+        spk_b = jnp.broadcast_to(spk[:, None, :],
+                                 (h.shape[0], h.shape[1], spk.shape[-1]))
+        context = jnp.concatenate([h, spk_b], axis=-1)
+        rng = None if rng_list is None else rng_list[m]
+        fronts.append(_conv_lstm_linear_front(p["feat"], context, lens,
+                                              training=training,
+                                              dropout_rng=rng))
+    lstm_outs = bilstm_apply_multi([p["feat"]["lstm"] for p in params_list],
+                                   fronts, lens)
+    outs = []
+    for p, y, x in zip(params_list, lstm_outs, norm_x):
+        if p["feat"]["_meta"]["use_linear"]:
+            y = linear_apply(p["feat"]["dense"], y)
+        outs.append({"x_hat": y, "x": x})
+    return outs
+
+
 def dap_infer_fused(params_list, txt_list, spk_list, lens=None):
     """Infer M DAP models whose BiLSTMs share shapes with ONE fused scan.
 

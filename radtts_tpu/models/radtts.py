@@ -499,14 +499,31 @@ def radtts_forward(params, mel, speaker_ids, text, in_lens, out_lens, *,
             f0_in = f0_target * 2.0
             energy_in = energy_target * 1.4
 
-        outputs["f0_model_outputs"] = attribute_model_forward(
-            params["f0_pred_module"], text_enc_time_expanded,
-            sg(speaker_vecs), f0_in, out_lens, training=training,
-            dropout_rng=rngs.get("f0"))
-        outputs["energy_model_outputs"] = attribute_model_forward(
-            params["energy_pred_module"], text_enc_time_expanded,
-            sg(speaker_vecs), energy_in, out_lens, training=training,
-            dropout_rng=rngs.get("energy"))
+        # Fuse the two DAP BiLSTM recurrences into one scan when shapes
+        # match (the flagship config) — same batching as the inference
+        # path; per-model conv fronts keep their own dropout streams.
+        from radtts_tpu.models.attributes import (dap_bilstm_shape,
+                                                  dap_forward_fused)
+        f0_lstm = dap_bilstm_shape(params["f0_pred_module"])
+        e_lstm = dap_bilstm_shape(params["energy_pred_module"])
+        if f0_lstm is not None and f0_lstm == e_lstm:
+            f0_out, e_out = dap_forward_fused(
+                [params["f0_pred_module"], params["energy_pred_module"]],
+                [text_enc_time_expanded, text_enc_time_expanded],
+                [sg(speaker_vecs), sg(speaker_vecs)],
+                [f0_in, energy_in], out_lens, training=training,
+                rng_list=[rngs.get("f0"), rngs.get("energy")])
+            outputs["f0_model_outputs"] = f0_out
+            outputs["energy_model_outputs"] = e_out
+        else:
+            outputs["f0_model_outputs"] = attribute_model_forward(
+                params["f0_pred_module"], text_enc_time_expanded,
+                sg(speaker_vecs), f0_in, out_lens, training=training,
+                dropout_rng=rngs.get("f0"))
+            outputs["energy_model_outputs"] = attribute_model_forward(
+                params["energy_pred_module"], text_enc_time_expanded,
+                sg(speaker_vecs), energy_in, out_lens, training=training,
+                dropout_rng=rngs.get("energy"))
 
     return outputs
 

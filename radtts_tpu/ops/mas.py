@@ -40,7 +40,8 @@ def _mas_single(attn, out_len, in_len):
         return new_prev, choice
 
     row_valid = rows[1:] < out_len
-    _, choices = lax.scan(dp_step, first_row, (log_attn[1:], row_valid))
+    _, choices = lax.scan(dp_step, first_row, (log_attn[1:], row_valid),
+                          unroll=8)
     # choices[i-1] holds the argmax decision entering row i (i = 1..T_mel-1)
     choices = jnp.concatenate(
         [jnp.zeros((1, T_text), bool), choices], axis=0)
@@ -56,7 +57,8 @@ def _mas_single(attn, out_len, in_len):
         return new_curr, set_row
 
     start = in_len - 1
-    _, opt_rows = lax.scan(bt_step, start, (choices, rows), reverse=True)
+    _, opt_rows = lax.scan(bt_step, start, (choices, rows), reverse=True,
+                           unroll=8)
     opt = opt_rows
     # reference quirk: after backtracking, opt[0, prev_ind[0, curr]] ==
     # opt[0, 0] is set unconditionally (alignment.py:58)

@@ -114,7 +114,7 @@ def drive_inference_cli(tmp_path, config_name):
          "-r", str(radtts_ckpt), "-v", str(voc_ckpt),
          "-k", str(voc_cfg), "-t", str(sentences), "-s", "ljs",
          "-o", str(out_dir), "--seed", "7"],
-        capture_output=True, text=True, env=env, timeout=900)
+        capture_output=True, text=True, env=env, timeout=1800)
     assert result.returncode == 0, result.stderr[-4000:]
 
     wavs = list(out_dir.glob("*.wav"))

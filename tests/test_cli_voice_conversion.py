@@ -81,7 +81,7 @@ def test_voice_conversion_cli(tmp_path):
          "-v", str(voc_ckpt), "-k", str(voc_cfg),
          "-o", str(out_dir), "-n", "1", "--predict_features",
          "--save_features", "--seed", "3"],
-        capture_output=True, text=True, env=env, timeout=900)
+        capture_output=True, text=True, env=env, timeout=1800)
     assert result.returncode == 0, result.stderr[-4000:]
 
     wavs = list(out_dir.glob("*.wav"))
