@@ -48,7 +48,7 @@ def infer(radtts_path, vocoder_path, vocoder_config_path, text_path,
           speaker, speaker_text, speaker_attributes, sigma, sigma_tkndur,
           sigma_f0, sigma_energy, f0_mean, f0_std, energy_mean, energy_std,
           token_dur_scaling, denoising_strength, n_takes, output_dir,
-          use_amp, plot, seed, config):
+          use_amp, plot, seed, config, batch_size=1):
     model_config = config["model_config"]
     data_config = config["data_config"]
 
@@ -87,13 +87,13 @@ def infer(radtts_path, vocoder_path, vocoder_config_path, text_path,
     @functools.lru_cache(maxsize=32)
     def decode_fn(max_frames):
         def fn(params, vocoder, denoiser, rng, spk, spk_attr, text_ids,
-               dur):
+               dur, in_lens):
             out = radtts_infer(
                 params, rng, spk, text_ids, sigma, max_frames, dur=dur,
                 sigma_f0=sigma_f0, sigma_energy=sigma_energy,
                 speaker_id_attributes=spk_attr, f0_mean=f0_mean,
                 f0_std=f0_std, energy_mean=energy_mean,
-                energy_std=energy_std)
+                energy_std=energy_std, in_lens=in_lens)
             # replicate the last valid frame into the static padding so the
             # vocoder's receptive field sees no garbage at the boundary
             total = jnp.sum(dur, axis=1)
@@ -109,52 +109,75 @@ def infer(radtts_path, vocoder_path, vocoder_config_path, text_path,
             return out, audio
         return jax.jit(fn)
 
-    for i, text in enumerate(text_list):
-        if text.startswith("#"):
-            continue
-        print(f"{i}/{len(text_list)}: {text}")
-        encoded = np.asarray(trainset.get_text(text))[None]
+    # --batch_size > 1: synthesize several lines per dispatch, padded to a
+    # bucketed token length (beyond the reference's one-line loop; the
+    # masked encoder path makes padded == exact-length results, and pad
+    # tokens get duration 0)
+    items = [(i, t) for i, t in enumerate(text_list)
+             if not t.startswith("#")]
+    hop = data_config["hop_length"]
+    for b0 in range(0, len(items), max(1, batch_size)):
+        chunk = items[b0:b0 + max(1, batch_size)]
+        B = len(chunk)
+        encs = []
+        for i, text in chunk:
+            print(f"{i}/{len(text_list)}: {text}")
+            encs.append(np.asarray(trainset.get_text(text)))
+        lens = np.array([len(e) for e in encs], np.int32)
+        if B == 1:
+            N, lens_arg = int(lens[0]), None
+        else:
+            N = ((int(lens.max()) + 15) // 16) * 16  # bucket: fewer jits
+            lens_arg = jnp.asarray(lens)
+        text_b = np.zeros((B, N), np.int64)
+        for j, e in enumerate(encs):
+            text_b[j, : len(e)] = e
+        text_b = jnp.asarray(text_b)
+        spk = jnp.broadcast_to(jnp.asarray(speaker_id), (B,))
+        spk_text = jnp.broadcast_to(jnp.asarray(speaker_id_text), (B,))
+        spk_attr = jnp.broadcast_to(jnp.asarray(speaker_id_attributes),
+                                    (B,))
+
         for take in range(n_takes):
             rng, r_dur, r_dec = jax.random.split(rng, 3)
-            dur = dur_fn(params, r_dur, jnp.asarray(speaker_id_text),
-                         jnp.asarray(encoded))
-            total = int(jnp.sum(dur))
-            if total < 1:  # untrained/degenerate duration model guard
-                dur = dur.at[:, :].add(1)
-                total = int(jnp.sum(dur))
-            max_frames = frame_budget(total, g)
+            dur = dur_fn(params, r_dur, spk_text, text_b, in_lens=lens_arg)
+            totals = np.asarray(jnp.sum(dur, axis=1))
+            if (totals < 1).any():  # untrained/degenerate duration guard
+                valid = (np.arange(N)[None, :] < lens[:, None])
+                bump = (totals < 1)[:, None] & valid
+                dur = dur + jnp.asarray(bump.astype(np.int32))
+                totals = np.asarray(jnp.sum(dur, axis=1))
+            max_frames = frame_budget(totals.max(), g)
             outputs, audio = decode_fn(max_frames)(
-                params, vocoder, denoiser, r_dec, jnp.asarray(speaker_id),
-                jnp.asarray(speaker_id_attributes), jnp.asarray(encoded),
-                dur)
-            n_samples_out = total * data_config["hop_length"]
-            audio_denoised = audio[:, :n_samples_out]
-            audio_denoised = np.asarray(audio_denoised)[0]
-            audio_denoised = audio_denoised / np.max(
-                np.abs(audio_denoised))
+                params, vocoder, denoiser, r_dec, spk, spk_attr, text_b,
+                dur, lens_arg)
+            audio = np.asarray(audio)
 
-            suffix_path = ("{}_{}_{}_durscaling{}_sigma{}_sigmatext{}_"
-                           "sigmaf0{}_sigmaenergy{}").format(
-                i, take, speaker, token_dur_scaling, sigma, sigma_tkndur,
-                sigma_f0, sigma_energy)
             from scipy.io.wavfile import write
-            write("{}/{}_denoised_{}.wav".format(
-                output_dir, suffix_path, denoising_strength), sr,
-                audio_denoised.astype(np.float32))
+            for j, (i, _) in enumerate(chunk):
+                wav = audio[j, : int(totals[j]) * hop]
+                wav = wav / np.max(np.abs(wav))
+                suffix_path = ("{}_{}_{}_durscaling{}_sigma{}_sigmatext{}_"
+                               "sigmaf0{}_sigmaenergy{}").format(
+                    i, take, speaker, token_dur_scaling, sigma,
+                    sigma_tkndur, sigma_f0, sigma_energy)
+                write("{}/{}_denoised_{}.wav".format(
+                    output_dir, suffix_path, denoising_strength), sr,
+                    wav.astype(np.float32))
 
-            if plot:
-                import matplotlib
-                matplotlib.use("Agg")
-                import matplotlib.pylab as plt
-                fig, axes = plt.subplots(2, 1, figsize=(10, 6))
-                axes[0].plot(np.asarray(outputs["f0"])[0], label="f0")
-                axes[1].plot(np.asarray(outputs["energy_avg"])[0],
-                             label="energy_avg")
-                for ax in axes:
-                    ax.legend(loc="best")
-                plt.tight_layout()
-                fig.savefig(f"{output_dir}/{suffix_path}_features.png")
-                plt.close("all")
+                if plot:
+                    import matplotlib
+                    matplotlib.use("Agg")
+                    import matplotlib.pylab as plt
+                    fig, axes = plt.subplots(2, 1, figsize=(10, 6))
+                    axes[0].plot(np.asarray(outputs["f0"])[j], label="f0")
+                    axes[1].plot(np.asarray(outputs["energy_avg"])[j],
+                                 label="energy_avg")
+                    for ax in axes:
+                        ax.legend(loc="best")
+                    plt.tight_layout()
+                    fig.savefig(f"{output_dir}/{suffix_path}_features.png")
+                    plt.close("all")
 
 
 if __name__ == "__main__":
@@ -182,6 +205,9 @@ if __name__ == "__main__":
     parser.add_argument("--energy_std", default=0.0, type=float)
     parser.add_argument("--token_dur_scaling", default=1.00, type=float)
     parser.add_argument("--n_takes", default=1, type=int)
+    parser.add_argument("--batch_size", default=1, type=int,
+                        help="synthesize this many lines per device "
+                             "dispatch (padded/bucketed text lengths)")
     parser.add_argument("--use_amp", action="store_true")
     parser.add_argument("--plot", action="store_true")
     parser.add_argument("--seed", default=1234, type=int)
@@ -197,4 +223,5 @@ if __name__ == "__main__":
           args.sigma_f0, args.sigma_energy, args.f0_mean, args.f0_std,
           args.energy_mean, args.energy_std, args.token_dur_scaling,
           args.denoising_strength, args.n_takes, args.output_dir,
-          args.use_amp, args.plot, args.seed, config)
+          args.use_amp, args.plot, args.seed, config,
+          batch_size=args.batch_size)

@@ -534,14 +534,19 @@ def radtts_forward(params, mel, speaker_ids, text, in_lens, out_lens, *,
 
 
 def infer_durations(params, rng, speaker_id_text, text, sigma_dur=0.8,
-                    token_dur_scaling=1.0, token_duration_max=100):
-    """Stage 1: predict integer per-token durations. text: (B, N)."""
+                    token_dur_scaling=1.0, token_duration_max=100,
+                    in_lens=None):
+    """Stage 1: predict integer per-token durations. text: (B, N).
+
+    in_lens: optional (B,) true token counts for batched inference over
+    padded texts (masked encoder path == the exact-length single-item
+    path; pad positions get duration 0)."""
     spk_vec_text = encode_speaker(params, speaker_id_text)
-    txt_enc, _ = encode_text(params, text, None)
+    txt_enc, _ = encode_text(params, text, in_lens)
     B, N = text.shape
     z_dur = jax.random.normal(rng, (B, N, 1)) * sigma_dur
     dur = attribute_model_infer(params["dur_pred_layer"], z_dur, txt_enc,
-                                spk_vec_text)
+                                spk_vec_text, in_lens)
     dur = dur[..., 0]
     if dur.shape[1] < N:
         # grouped (BGAP/AGAP n_group_size>1) duration models emit N/g
@@ -553,7 +558,10 @@ def infer_durations(params, rng, speaker_id_text, text, sigma_dur=0.8,
     dur = jnp.clip(dur, 0, token_duration_max)
     if token_dur_scaling > 0:
         dur = dur * token_dur_scaling
-    return jnp.floor(dur + 0.5).astype(jnp.int32)
+    dur = jnp.floor(dur + 0.5).astype(jnp.int32)
+    if in_lens is not None:
+        dur = dur * (jnp.arange(N)[None, :] < in_lens[:, None])
+    return dur
 
 
 def renormalize_f0(f0, voiced_mask, f0_mean, f0_std=0.0):
@@ -577,11 +585,12 @@ def radtts_infer(params, rng, speaker_id, text, sigma, max_frames, *,
                  speaker_id_text=None, speaker_id_attributes=None, f0=None,
                  energy_avg=None, voiced_mask=None, f0_mean=0.0, f0_std=0.0,
                  energy_mean=0.0, energy_std=0.0, residual=None, z_f0=None,
-                 z_energy=None):
+                 z_energy=None, in_lens=None):
     """Stage 2: attributes + inverse flow decode at a static frame budget.
 
     dur: (B, N) int durations (from infer_durations or ground truth).
     max_frames: static int >= sum(dur), multiple of every group size in play.
+    in_lens: optional (B,) true token counts (batched padded texts).
     Returns dict with mel (B, max_frames, n_mel); frames past sum(dur) are
     garbage to be sliced off by the caller.
     """
@@ -593,7 +602,7 @@ def radtts_infer(params, rng, speaker_id, text, sigma, max_frames, *,
     spk_vec = encode_speaker(params, speaker_id)
     spk_vec_attrs = (spk_vec if speaker_id_attributes is None
                      else encode_speaker(params, speaker_id_attributes))
-    txt_enc, _ = encode_text(params, text, None)
+    txt_enc, _ = encode_text(params, text, in_lens)
 
     out_lens = jnp.sum(dur, axis=1)
     txt_enc_time_expanded = regulate_length(txt_enc, dur, max_frames)
