@@ -164,3 +164,55 @@ def test_loader_rank_sharding_disjoint():
                          seed=7, rank=1, world_size=4, drop_last=False)
     loader2.set_epoch(3)
     assert set(int(i) for i in np.concatenate(loader2._indices())) == seen[1]
+
+
+def test_dp_inference_matches_single_device():
+    """Batched inference (radtts_infer + vocoder) sharded over the data
+    axis on a 4-device mesh must reproduce single-device mels/audio —
+    the serving-scale deployment path (one replica per mesh row)."""
+    from __graft_entry__ import _flagship_model_config, radtts_init_with
+    from radtts_tpu.models.hifigan import (hifigan_generator_apply,
+                                           hifigan_generator_init)
+    from radtts_tpu.models.radtts import radtts_infer
+    from radtts_tpu.ops.invertible import precompute_inverses
+    from radtts_tpu.parallel.mesh import make_mesh, replicate
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+
+    cfg = _flagship_model_config(small=True)
+    params = precompute_inverses(radtts_init_with(cfg))
+    voc = hifigan_generator_init(jax.random.PRNGKey(1), {
+        "resblock": "1", "upsample_rates": [8, 8, 2, 2],
+        "upsample_kernel_sizes": [16, 16, 4, 4],
+        "upsample_initial_channel": 64,
+        "resblock_kernel_sizes": [3, 7, 11],
+        "resblock_dilation_sizes": [[1, 3, 5]] * 3})
+
+    B, N, T = 4, 16, 32
+    r = np.random.default_rng(0)
+    text = jnp.asarray(r.integers(1, 100, (B, N)))
+    spk = jnp.zeros((B,), jnp.int32)
+    dur = jnp.full((B, N), T // N, jnp.int32)
+    rng = jax.random.PRNGKey(3)
+
+    @jax.jit
+    def synth(params, voc, rng, spk, text, dur):
+        out = radtts_infer(params, rng, spk, text, 0.8, T, dur=dur,
+                           sigma_f0=1.0, sigma_energy=1.0)
+        return out["mel"], hifigan_generator_apply(voc, out["mel"])
+
+    mesh1 = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    mel1, audio1 = synth(replicate(params, mesh1), replicate(voc, mesh1),
+                         rng, spk, text, dur)
+
+    mesh4 = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    dp = NamedSharding(mesh4, P("data"))
+    mel4, audio4 = synth(
+        replicate(params, mesh4), replicate(voc, mesh4), rng,
+        jax.device_put(spk, dp), jax.device_put(text, dp),
+        jax.device_put(dur, dp))
+
+    np.testing.assert_allclose(np.asarray(mel4), np.asarray(mel1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(audio4), np.asarray(audio1),
+                               rtol=1e-3, atol=1e-4)
