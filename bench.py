@@ -89,14 +89,11 @@ def main():
         out = radtts_infer(params, r_dec, speaker, text_ids, 0.8,
                            max_frames, dur=dur, sigma_f0=1.0,
                            sigma_energy=1.0)
-        audio = hifigan_generator_apply(vocoder, out["mel"],
-                                        mrf_impl=mrf_impl)
+        # mrf_impl defaults to "auto": the fused Pallas MRF kernel on TPU
+        # (ops/pallas_mrf.py; interleaved A/B: 1.7-2.3x per stage vs XLA)
+        audio = hifigan_generator_apply(vocoder, out["mel"])
         audio = denoiser_apply(denoiser, audio, strength=0.01)
         return audio, jnp.sum(audio[:, :8])
-
-    # fused Pallas MRF kernel for the narrow vocoder stages on TPU
-    # (ops/pallas_mrf.py; interleaved A/B: 1.7-2.3x per stage vs XLA)
-    mrf_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     rng = jax.random.PRNGKey(2)
     text_ids = jnp.asarray(encoded)

@@ -52,6 +52,7 @@ def chip_peak_flops():
 
 
 def main(use_amp, n_iters):
+    n_iters = max(2, n_iters)  # difference method needs two trip counts
     from __graft_entry__ import (_LOSS_WEIGHTS, _example_batch,
                                  _flagship_model_config)
     from radtts_tpu.models.radtts import radtts_init

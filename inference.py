@@ -100,10 +100,7 @@ def infer(radtts_path, vocoder_path, vocoder_config_path, text_path,
             t = jnp.arange(max_frames)
             idx = jnp.minimum(t[None, :], total[:, None] - 1)
             mel = jnp.take_along_axis(out["mel"], idx[:, :, None], axis=1)
-            audio = hifigan_generator_apply(
-                vocoder, mel,
-                mrf_impl=("pallas" if jax.default_backend() == "tpu"
-                          else "xla"))
+            audio = hifigan_generator_apply(vocoder, mel)
             audio = denoiser_apply(denoiser, audio,
                                    strength=denoising_strength)
             return out, audio

@@ -147,10 +147,7 @@ def infer(radtts_path, radtts_config_path, vocoder_path,
                     np.asarray(mel).transpose(0, 2, 1))
 
             if not no_audio:
-                audio = hifigan_generator_apply(
-                    vocoder, mel,
-                    mrf_impl=("pallas" if jax.default_backend() == "tpu"
-                              else "xla"))
+                audio = hifigan_generator_apply(vocoder, mel)
                 audio_denoised = denoiser_apply(
                     denoiser, audio, strength=denoising_strength)
                 from scipy.io.wavfile import write

@@ -46,9 +46,17 @@ class NumericalError(FloatingPointError):
 
 def _raise_if_bad(ok, name):
     if not bool(ok):
-        raise NumericalError(
-            f"non-finite values detected in {name} (debug-mode numerical "
-            f"sentinel; reference parity: splines.py:81-82)")
+        # On asynchronously-dispatching backends (TPU) an exception thrown
+        # inside a debug callback may surface as a deferred XlaRuntimeError
+        # at the next host sync instead of this NumericalError, so emit the
+        # diagnostic on stderr unconditionally first — it names the
+        # offending op either way. Reproduce under JAX_PLATFORMS=cpu for a
+        # synchronous NumericalError at the op.
+        import sys
+        msg = (f"non-finite values detected in {name} (debug-mode "
+               f"numerical sentinel; reference parity: splines.py:81-82)")
+        print(f"FATAL radtts_tpu.debug: {msg}", file=sys.stderr, flush=True)
+        raise NumericalError(msg)
 
 
 def check_finite(x, name):

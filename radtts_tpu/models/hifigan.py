@@ -255,13 +255,16 @@ def _mrf_is_pallas_compatible(meta, rk, rd):
             and all(tuple(d) == DILATIONS for d in rd))
 
 
-def hifigan_generator_apply(params, mel, *, mrf_impl="xla"):
+def hifigan_generator_apply(params, mel, *, mrf_impl="auto"):
     """mel: (B, T, 80) -> waveform (B, T * prod(upsample_rates)).
 
-    mrf_impl: "xla" (default, runs anywhere) or "pallas" — route each
-    upsample stage's resblock stack through the fused TPU kernel
-    (ops/pallas_mrf.py) when the architecture matches the standard
-    (3,7,11)x(1,3,5) ResBlock1 MRF. The CLIs and bench enable it on TPU."""
+    mrf_impl: "auto" (default — the fused Pallas kernel on TPU, plain XLA
+    elsewhere), "xla", or "pallas". The Pallas route sends each narrow
+    (C<=128) upsample stage's resblock stack through ops/pallas_mrf.py
+    when the architecture matches the standard (3,7,11)x(1,3,5) ResBlock1
+    MRF — measured 1.7-2.3x per stage on v5e."""
+    if mrf_impl == "auto":
+        mrf_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     meta = params["_meta"]
     rates = meta["upsample_rates"]
     kernels = meta["upsample_kernel_sizes"]

@@ -46,7 +46,8 @@ def _idft_bases(n_fft):
          * (2.0 * np.pi / n_fft))
     w = np.full((F, 1), 2.0, np.float64)
     w[0] = 1.0
-    w[-1] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0  # the last bin is Nyquist (unpaired) only for even N
     icos = (np.cos(k) * w / n_fft).astype(np.float32)
     isin = (np.sin(k) * w / n_fft).astype(np.float32)
     return icos, isin

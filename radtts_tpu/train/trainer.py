@@ -542,10 +542,7 @@ def _log_audio_samples(iteration, params, model_config, train_config,
                     jnp.asarray(batch["text"][:1]), 0.8, max_frames,
                     dur=jnp.asarray(durations)[None], **kwargs)
                 mel = out["mel"][:, :total]
-                audio = hifigan_generator_apply(
-                    vocoder, mel,
-                    mrf_impl=("pallas" if jax.default_backend() == "tpu"
-                              else "xla"))
+                audio = hifigan_generator_apply(vocoder, mel)
                 audio = denoiser_apply(denoiser, audio, strength=1e-5)
                 audio = np.asarray(audio)[0]
                 audio = audio / max(np.abs(audio).max(), 1e-5)

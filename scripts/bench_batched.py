@@ -64,10 +64,7 @@ def main():
             out = radtts_infer(params, r_dec, speaker, text_ids, 0.8,
                                max_frames, dur=dur, sigma_f0=1.0,
                                sigma_energy=1.0)
-            audio = hifigan_generator_apply(
-                vocoder, out["mel"],
-                mrf_impl=("pallas" if jax.default_backend() == "tpu"
-                          else "xla"))
+            audio = hifigan_generator_apply(vocoder, out["mel"])
             audio = denoiser_apply(denoiser, audio, strength=0.01)
             return jnp.sum(audio[:, :8])
 

@@ -61,3 +61,20 @@ def test_radam_parity():
         np.testing.assert_allclose(np.asarray(w_j),
                                    w_t.detach().numpy(), rtol=1e-5,
                                    atol=1e-6, err_msg=f"step {step}")
+
+
+def test_reim_roundtrip_odd_nfft():
+    """istft_reim(stft_reim(x)) must reconstruct x for ODD n_fft too: the
+    iDFT basis only has an unpaired Nyquist bin (weight 1) for even N."""
+    import jax.numpy as jnp
+    from radtts_tpu.ops.stft import istft_reim, stft_reim
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray((rng.standard_normal((1, 3000)) * 0.1)
+                        .astype(np.float32))
+    for n_fft, hop in ((255, 64), (256, 64)):
+        re, im = stft_reim(audio, n_fft, hop, n_fft)
+        rec = istft_reim(re, im, n_fft, hop, n_fft)
+        a = np.asarray(audio)[0, n_fft: 3000 - n_fft]
+        r = np.asarray(rec)[0, n_fft: 3000 - n_fft]
+        np.testing.assert_allclose(r, a, rtol=1e-4, atol=1e-5)
