@@ -139,3 +139,36 @@ def test_inference_cli_bgap(tmp_path):
 @pytest.mark.slow
 def test_inference_cli_agap(tmp_path):
     drive_inference_cli(tmp_path, "config_ljs_agap.json")
+
+
+@pytest.mark.slow
+def test_inference_cli_batched(tmp_path):
+    """--batch_size 2 over three lines: two dispatches, three wavs, each
+    trimmed to its own duration budget."""
+    cfg_path, radtts_ckpt, voc_ckpt, voc_cfg, sentences = build_fixtures(
+        tmp_path, "config_ljs_dap.json")
+    sentences.write_text(
+        "The quick brown fox jumps over the lazy dog.\n"
+        "Hello world.\n"
+        "A third, somewhat longer sentence for the second batch.\n")
+    out_dir = tmp_path / "results_b2"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    result = subprocess.run(
+        [sys.executable, "inference.py", "-c", str(cfg_path),
+         "-r", str(radtts_ckpt), "-v", str(voc_ckpt),
+         "-k", str(voc_cfg), "-t", str(sentences), "-s", "ljs",
+         "-o", str(out_dir), "--seed", "7", "--batch_size", "2"],
+        capture_output=True, text=True, env=env, timeout=1800)
+    assert result.returncode == 0, result.stderr[-4000:]
+
+    wavs = sorted(out_dir.glob("*.wav"))
+    assert len(wavs) == 3, result.stdout[-2000:]
+    lengths = []
+    for w in wavs:
+        sr_out, audio = wavfile.read(w)
+        assert sr_out == 22050
+        assert np.isfinite(audio).all()
+        assert np.abs(audio).max() > 1e-4
+        lengths.append(len(audio))
+    # per-item trimming: the wavs must not all share the padded length
+    assert len(set(lengths)) > 1, lengths
