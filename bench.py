@@ -131,7 +131,7 @@ def main():
         return time.perf_counter() - tic
 
     t_long, t_short = [], []
-    for _ in range(5):
+    for _ in range(7):
         t_long.append(timecall(keys))
         t_short.append(timecall(keys[:1]))
     elapsed = max(min(t_long) - min(t_short), 1e-9) / (n_iters - 1)

@@ -283,9 +283,12 @@ def hifigan_generator_apply(params, mel, *, mrf_impl="auto"):
         x = conv_transpose1d_apply(params["ups"][i], x, u, (k - u) // 2)
         if use_pallas and x.shape[-1] <= 128:
             # C=256 stages don't fit VMEM (k=11 weight stacks alone are
-            # 17 MB) and are cheap under XLA; fuse only the narrow stages
+            # 17 MB) and are cheap under XLA; fuse only the narrow stages.
+            # Tile sizes are A/B-measured per width: 1536 helps C=64
+            # (2.51->1.62 ms) but not C=32/C=128; 1792+ OOMs VMEM.
+            tile = 1536 if x.shape[-1] == 64 else 1024
             x = pallas_mrf(x, mrf_weights_from_params(
-                params["resblocks"][i]), tile=1024)
+                params["resblocks"][i]), tile=tile)
             continue
         xs = jnp.zeros_like(x)
         for j, block in enumerate(params["resblocks"][i]):
