@@ -302,6 +302,52 @@ def hifigan_generator_apply(params, mel, *, mrf_impl="auto"):
     return jnp.tanh(x)[..., 0]
 
 
+def hifigan_generator_to_torch(params):
+    """Inverse of hifigan_generator_from_torch: emit a reference-compatible
+    weight-normed state_dict ({'generator': sd} is the on-disk format,
+    hifigan ckpt convention) so TPU-fine-tuned vocoders load in the torch
+    reference and back through load_vocoder. weight_v = w with
+    weight_g = ||w|| over the non-0 dims is a valid weight-norm
+    factorization that collapses back to w exactly."""
+    import numpy as np
+    import torch
+
+    def conv_entry(out, prefix, p, transposed=False):
+        w = np.asarray(p["w"])
+        if transposed:
+            # ours: flipped (K, C_in, C_out) -> torch (C_in, C_out, K)
+            w = np.ascontiguousarray(np.transpose(w, (1, 2, 0))[:, :, ::-1])
+        else:
+            # ours: (K, C_in, C_out) -> torch (C_out, C_in, K)
+            w = np.ascontiguousarray(np.transpose(w, (2, 1, 0)))
+        g = np.sqrt((w ** 2).sum(axis=tuple(range(1, w.ndim)),
+                                 keepdims=True))
+        out[prefix + ".weight_g"] = torch.from_numpy(g.astype(np.float32))
+        out[prefix + ".weight_v"] = torch.from_numpy(w.astype(np.float32))
+        if "b" in p:
+            out[prefix + ".bias"] = torch.from_numpy(
+                np.array(p["b"], np.float32, copy=True))
+
+    meta = params["_meta"]
+    sd = {}
+    conv_entry(sd, "conv_pre", params["conv_pre"])
+    for i, up in enumerate(params["ups"]):
+        conv_entry(sd, f"ups.{i}", up, transposed=True)
+    for i, group in enumerate(params["resblocks"]):
+        for j, block in enumerate(group):
+            base = f"resblocks.{i}.{j}"
+            if meta["resblock"] == "1":
+                for m, c in enumerate(block["convs1"]):
+                    conv_entry(sd, f"{base}.convs1.{m}", c)
+                for m, c in enumerate(block["convs2"]):
+                    conv_entry(sd, f"{base}.convs2.{m}", c)
+            else:
+                for m, c in enumerate(block["convs"]):
+                    conv_entry(sd, f"{base}.convs.{m}", c)
+    conv_entry(sd, "conv_post", params["conv_post"])
+    return sd
+
+
 # ---------------------------------------------------------------------------
 # Denoiser (reference: hifigan_denoiser.py:25-59)
 # ---------------------------------------------------------------------------
