@@ -2,9 +2,12 @@
 """Stage-level RTF profiling on the attached chip.
 
 Times each jitted stage of the text->wav pipeline with the tunnel-robust
-methodology (docs/DESIGN.md §8): N repetitions chained inside one jitted
-fori_loop (so per-execution dispatch overhead and a possibly non-blocking
-block_until_ready cannot skew the numbers), one scalar host sync at the end.
+methodology (docs/DESIGN.md §8): all repetitions run INSIDE one jitted
+lax.scan (one dispatch), and an 1-repetition run of the same program is
+subtracted (the difference method) — per-dispatch overhead through the
+tunnel has been measured anywhere from 0.7 ms to >1 s with tenant load,
+so neither chained eager dispatches nor an independently measured sync
+round-trip are trustworthy.
 """
 
 import time
@@ -25,33 +28,41 @@ from radtts_tpu.models.radtts import (infer_durations, radtts_infer,
 from radtts_tpu.ops.invertible import precompute_inverses
 
 N_REPS = 10
+PAIRS = 5
 MAX_FRAMES = 608
 AUDIO_S = MAX_FRAMES * 256 / 22050
 
 
-def chained(name, f, x0, *consts):
-    """f: (x, i, *consts) -> y. Separate dispatches, each data-dependent on
-    the previous result through a non-constant-foldable epsilon term
-    (wrapping large graphs in fori_loop multiplies XLA compile time;
-    bench-style chaining keeps one compile of f and still forces serial
-    execution). Model params MUST flow through *consts, not closures —
-    closure-captured pytrees get baked into the HLO as constants and blow
-    past the remote-compile request limit."""
+def staged(name, f, x0, *consts):
+    """f: (x, i, *consts) -> y. All reps inside one scan; the per-rep cost
+    is (T_long - T_short) / (N_REPS - 1), min over PAIRS pairs. Model
+    params MUST flow through *consts, not closures — closure-captured
+    pytrees get baked into the HLO as constants and blow past the
+    remote-compile request limit."""
     t0 = time.perf_counter()
 
     @jax.jit
-    def run(x, i, *consts):
-        y = f(x, i, *consts)
-        return x + jnp.mean(y) * 1e-30
+    def run(x, idxs, *consts):
+        def body(x, i):
+            return x + jnp.mean(f(x, i, *consts)) * 1e-30, ()
+        x, _ = lax.scan(body, x, idxs)
+        return x
 
-    x = run(x0, 0, *consts)
-    float(x.ravel()[0])
+    long_idx = jnp.arange(N_REPS)
+    short_idx = jnp.arange(1)
+    for idxs in (long_idx, short_idx):
+        float(run(x0, idxs, *consts).ravel()[0])
     compile_s = time.perf_counter() - t0
-    t = time.perf_counter()
-    for i in range(N_REPS):
-        x = run(x, i, *consts)
-    float(x.ravel()[0])
-    dt = (time.perf_counter() - t) / N_REPS
+
+    t_long, t_short = [], []
+    for _ in range(PAIRS):
+        t = time.perf_counter()
+        float(run(x0, long_idx, *consts).ravel()[0])
+        t_long.append(time.perf_counter() - t)
+        t = time.perf_counter()
+        float(run(x0, short_idx, *consts).ravel()[0])
+        t_short.append(time.perf_counter() - t)
+    dt = max(min(t_long) - min(t_short), 0.0) / (N_REPS - 1)
     print(f"{name:30s} {dt*1000:8.2f} ms  rtf={dt/AUDIO_S:.5f} "
           f"(compile {compile_s:.0f}s)", flush=True)
     return dt
@@ -75,24 +86,24 @@ def main():
     k = jax.random.PRNGKey(3)
 
     total = 0.0
-    total += chained(
+    total += staged(
         "durations(enc+dap)",
         lambda x, i, p: infer_durations(
             p, jax.random.fold_in(k, i), spk, text,
             sigma_dur=0.666).astype(jnp.float32) + 1e-30 * jnp.mean(x),
         jnp.zeros((4,)), params)
-    total += chained(
+    total += staged(
         "decode(attrs+ctx+invflow)",
         lambda x, i, p: radtts_infer(
             p, jax.random.fold_in(k, i), spk, text, 0.8, MAX_FRAMES,
             dur=dur, sigma_f0=1.0, sigma_energy=1.0)["mel"]
         + 1e-30 * jnp.mean(x),
         jnp.zeros((4,)), params)
-    total += chained(
+    total += staged(
         "vocoder",
         lambda m, i, v: hifigan_generator_apply(v, m + 1e-30 * i),
         mel0, vocoder)
-    total += chained(
+    total += staged(
         "denoiser",
         lambda a, i, d: denoiser_apply(d, a + 1e-30 * i, 0.01),
         audio0, denoiser)
