@@ -79,21 +79,34 @@ def infer(radtts_path, vocoder_path, vocoder_config_path, text_path,
     g = model_config["n_group_size"]
     sr = data_config["sampling_rate"]
 
+    # --use_amp: trace the model stages under the bf16 scope (the coupling
+    # predictor stacks run bfloat16, fp32 islands stay fp32 — the TPU
+    # analogue of the reference's `with amp.autocast(use_amp)` around
+    # radtts.infer, reference inference.py:121). The flag is captured at
+    # trace time (ops/amp.py), so it wraps the jitted bodies.
+    from radtts_tpu.ops import amp as _amp
+
     # jitted stages, specialized per (text length, frame budget) bucket
-    dur_fn = jax.jit(functools.partial(
-        infer_durations, sigma_dur=sigma_tkndur,
-        token_dur_scaling=token_dur_scaling, token_duration_max=100))
+    def _dur_fn(params, rng, spk_text, text_ids, in_lens=None):
+        with _amp.scope(use_amp):
+            return infer_durations(
+                params, rng, spk_text, text_ids, sigma_dur=sigma_tkndur,
+                token_dur_scaling=token_dur_scaling, token_duration_max=100,
+                in_lens=in_lens)
+
+    dur_fn = jax.jit(_dur_fn)
 
     @functools.lru_cache(maxsize=32)
     def decode_fn(max_frames):
         def fn(params, vocoder, denoiser, rng, spk, spk_attr, text_ids,
                dur, in_lens):
-            out = radtts_infer(
-                params, rng, spk, text_ids, sigma, max_frames, dur=dur,
-                sigma_f0=sigma_f0, sigma_energy=sigma_energy,
-                speaker_id_attributes=spk_attr, f0_mean=f0_mean,
-                f0_std=f0_std, energy_mean=energy_mean,
-                energy_std=energy_std, in_lens=in_lens)
+            with _amp.scope(use_amp):
+                out = radtts_infer(
+                    params, rng, spk, text_ids, sigma, max_frames, dur=dur,
+                    sigma_f0=sigma_f0, sigma_energy=sigma_energy,
+                    speaker_id_attributes=spk_attr, f0_mean=f0_mean,
+                    f0_std=f0_std, energy_mean=energy_mean,
+                    energy_std=energy_std, in_lens=in_lens)
             # replicate the last valid frame into the static padding so the
             # vocoder's receptive field sees no garbage at the boundary
             total = jnp.sum(dur, axis=1)

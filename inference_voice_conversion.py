@@ -82,7 +82,12 @@ def infer(radtts_path, radtts_config_path, vocoder_path,
         print("sample", k, filename)
 
         # ground-truth-mel forward with binarized attention -> durations
-        outputs = radtts_forward(
+        # (--use_amp runs the coupling predictor stacks bf16, the analogue
+        # of the reference's autocast around this block,
+        # inference_voice_conversion.py:153,182)
+        from radtts_tpu.ops import amp as _amp
+        with _amp.scope(use_amp):
+            outputs = radtts_forward(
             params, jnp.asarray(batch["mel"]),
             jnp.asarray(batch["speaker_ids"]), jnp.asarray(batch["text"]),
             jnp.asarray(batch["input_lengths"]),
@@ -112,10 +117,11 @@ def infer(radtts_path, radtts_config_path, vocoder_path,
                 f0_bad, energy_bad = True, True
                 while f0_bad or energy_bad:
                     rng, sub = jax.random.split(rng)
-                    model_output = radtts_infer(
-                        params, sub, speaker_ids, text, sigma, max_frames,
-                        dur=dur_target, sigma_f0=sigma_f0,
-                        sigma_energy=sigma_energy)
+                    with _amp.scope(use_amp):
+                        model_output = radtts_infer(
+                            params, sub, speaker_ids, text, sigma,
+                            max_frames, dur=dur_target, sigma_f0=sigma_f0,
+                            sigma_energy=sigma_energy)
                     f0 = model_output["f0"]
                     energy_avg = model_output["energy_avg"]
                     if filter_invalid:
@@ -126,16 +132,17 @@ def infer(radtts_path, radtts_config_path, vocoder_path,
                         f0_bad = energy_bad = False
             else:
                 rng, sub = jax.random.split(rng)
-                model_output = radtts_infer(
-                    params, sub, speaker_ids, text, sigma, max_frames,
-                    dur=dur_target,
-                    f0=jnp.asarray(batch["f0"][:, :max_frames]),
-                    energy_avg=jnp.asarray(
-                        batch["energy_avg"][:, :max_frames]),
-                    voiced_mask=jnp.asarray(
-                        batch["voiced_mask"][:, :max_frames]),
-                    f0_mean=f0_mean, f0_std=f0_std,
-                    energy_mean=energy_mean, energy_std=energy_std)
+                with _amp.scope(use_amp):
+                    model_output = radtts_infer(
+                        params, sub, speaker_ids, text, sigma, max_frames,
+                        dur=dur_target,
+                        f0=jnp.asarray(batch["f0"][:, :max_frames]),
+                        energy_avg=jnp.asarray(
+                            batch["energy_avg"][:, :max_frames]),
+                        voiced_mask=jnp.asarray(
+                            batch["voiced_mask"][:, :max_frames]),
+                        f0_mean=f0_mean, f0_std=f0_std,
+                        energy_mean=energy_mean, energy_std=energy_std)
                 f0 = model_output["f0"]
                 energy_avg = model_output["energy_avg"]
 

@@ -396,14 +396,45 @@ class DataCollate:
                 "energy_avg": energy_avg_padded}
 
 
+_WORKER_DATASET = None
+
+
+def _pool_init(factory, factory_args):
+    """Each worker process builds its own dataset (LMDB handles/file
+    objects do not survive spawn+pickle)."""
+    global _WORKER_DATASET
+    _WORKER_DATASET = factory(*factory_args)
+
+
+def _pool_get(i):
+    return _WORKER_DATASET[int(i)]
+
+
+def data_factory(data_config, files_key, speaker_ids=None):
+    """Picklable Data builder for DataLoader worker processes."""
+    ignore_keys = ("training_files", "validation_files")
+    return Data(data_config[files_key],
+                **{k: v for k, v in data_config.items()
+                   if k not in ignore_keys},
+                speaker_ids=speaker_ids)
+
+
 class DataLoader:
-    """Minimal multi-threaded prefetching loader with deterministic
-    per-epoch shuffling and rank sharding (replaces torch DataLoader +
-    DistributedSampler; reference: train.py:147-156)."""
+    """Minimal prefetching loader with deterministic per-epoch shuffling
+    and rank sharding (replaces torch DataLoader + DistributedSampler;
+    reference: train.py:147-156).
+
+    Default: a thread pool collates batches — fine once the pyin/prior
+    caches are warm (cache hits are IO-bound). num_worker_procs > 0 adds a
+    spawn-based process pool that fetches SAMPLES in parallel — the
+    analogue of the reference's 8 worker processes (train.py:151-154) —
+    because first-epoch pyin cache misses are GIL-bound numpy. Requires
+    worker_init=(factory, args): each worker rebuilds the dataset via
+    factory(*args) (see data_factory)."""
 
     def __init__(self, dataset, batch_size, collate_fn, *, shuffle=True,
                  seed=0, rank=0, world_size=1, num_workers=4,
-                 drop_last=True):
+                 drop_last=True, num_worker_procs=0, worker_init=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -414,9 +445,32 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.epoch = 0
+        self.num_worker_procs = num_worker_procs
+        self.worker_init = worker_init
+        self._pool = None
 
     def set_epoch(self, epoch):
         self.epoch = epoch
+
+    def _get_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+            ctx = mp.get_context("spawn")
+            factory, factory_args = self.worker_init
+            self._pool = ctx.Pool(self.num_worker_procs, _pool_init,
+                                  (factory, factory_args))
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _indices(self):
         n = len(self.dataset)
@@ -441,9 +495,18 @@ class DataLoader:
 
         batches = self._indices()
 
-        def load_batch(batch_idx):
-            return self.collate_fn([self.dataset[int(i)]
-                                    for i in batch_idx])
+        if self.num_worker_procs > 0 and self.worker_init is not None:
+            proc_pool = self._get_pool()
+
+            def load_batch(batch_idx):
+                # samples fan out across worker processes; collate here
+                items = proc_pool.map(_pool_get,
+                                      [int(i) for i in batch_idx])
+                return self.collate_fn(items)
+        else:
+            def load_batch(batch_idx):
+                return self.collate_fn([self.dataset[int(i)]
+                                        for i in batch_idx])
 
         with concurrent.futures.ThreadPoolExecutor(
                 max_workers=self.num_workers) as pool:

@@ -553,20 +553,33 @@ def _flip_roll(x, lens):
 
 
 def agap_infer(params, z, txt_enc, spk_emb, seq_lens=None):
+    """seq_lens (frames, pre-grouping) makes padded batches exact: back-step
+    reversals flip each sample's VALID prefix (as training does via
+    _flip_roll) instead of the padded axis, so every causal scan sees valid
+    frames first and per-item outputs match the exact-length run
+    (reference back step: autoregressive_flow.py:57-71; its inference is
+    B=1 exact-length where flip == prefix-flip)."""
     meta = params["_meta"]
     g = meta["n_group_size"]
     n_frames = z.shape[1]
     z = unfold_group(z, g)
     context = _agap_context(params, txt_enc, spk_emb, g)
+    lens_grouped = None if seq_lens is None else seq_lens // g
+
+    def rev(t):
+        if lens_grouped is None:
+            return jnp.flip(t, axis=1)
+        return _flip_roll(t, lens_grouped)
+
     for i in reversed(range(meta["n_flows"])):
         flow_p = params["flows"][i]
         if i % 2 == 0:
             z = ar_step_infer(flow_p, z, context, meta["scaling_fn"])
         else:
-            zr = jnp.flip(z, axis=1)
-            cr = jnp.flip(context, axis=1)
+            zr = rev(z)
+            cr = rev(context)
             zr = ar_step_infer(flow_p, zr, cr, meta["scaling_fn"])
-            z = jnp.flip(zr, axis=1)
+            z = rev(zr)
     x_hat = fold_group(z, g)
     if x_hat.shape[1] < n_frames:  # group-size truncation: reflect pad
         pad = n_frames - x_hat.shape[1]

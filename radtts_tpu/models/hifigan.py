@@ -264,7 +264,9 @@ def hifigan_generator_apply(params, mel, *, mrf_impl="auto"):
     when the architecture matches the standard (3,7,11)x(1,3,5) ResBlock1
     MRF — measured 1.7-2.3x per stage on v5e."""
     if mrf_impl == "auto":
-        mrf_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        dd = jax.config.jax_default_device
+        platform = dd.platform if dd is not None else jax.default_backend()
+        mrf_impl = "pallas" if platform == "tpu" else "xla"
     meta = params["_meta"]
     rates = meta["upsample_rates"]
     kernels = meta["upsample_kernel_sizes"]

@@ -535,19 +535,23 @@ def radtts_forward(params, mel, speaker_ids, text, in_lens, out_lens, *,
 
 def infer_durations(params, rng, speaker_id_text, text, sigma_dur=0.8,
                     token_dur_scaling=1.0, token_duration_max=100,
-                    in_lens=None):
+                    in_lens=None, z_dur=None):
     """Stage 1: predict integer per-token durations. text: (B, N).
 
     in_lens: optional (B,) true token counts for batched inference over
     padded texts (masked encoder path == the exact-length single-item
-    path; pad positions get duration 0)."""
+    path; pad positions get duration 0).
+    z_dur: optional (B, N, 1) injected noise (parity/testing; reference
+    samples inline, radtts.py:557-559)."""
     spk_vec_text = encode_speaker(params, speaker_id_text)
     txt_enc, _ = encode_text(params, text, in_lens)
     B, N = text.shape
-    z_dur = jax.random.normal(rng, (B, N, 1)) * sigma_dur
+    if z_dur is None:
+        z_dur = jax.random.normal(rng, (B, N, 1)) * sigma_dur
     dur = attribute_model_infer(params["dur_pred_layer"], z_dur, txt_enc,
                                 spk_vec_text, in_lens)
     dur = dur[..., 0]
+    g_dur = params["dur_pred_layer"]["_meta"].get("n_group_size", 1)
     if dur.shape[1] < N:
         # grouped (BGAP/AGAP n_group_size>1) duration models emit N/g
         # tokens; replication-pad back to text length (reference:
@@ -555,6 +559,14 @@ def infer_durations(params, rng, speaker_id_text, text, sigma_dur=0.8,
         pad = N - dur.shape[1]
         dur = jnp.concatenate(
             [dur, jnp.repeat(dur[:, -1:], pad, axis=1)], axis=1)
+    if in_lens is not None and g_dur > 1:
+        # batched padded texts: the last computed group per item is
+        # (len//g)-1 — tokens past (len//g)*g must replicate that group's
+        # last value (what the reference's ReplicationPad1d does at exact
+        # length), not take values computed from pad-contaminated groups
+        last = jnp.maximum((in_lens // g_dur) * g_dur - 1, 0)
+        idx = jnp.minimum(jnp.arange(N)[None, :], last[:, None])
+        dur = jnp.take_along_axis(dur, idx, axis=1)
     dur = jnp.clip(dur, 0, token_duration_max)
     if token_dur_scaling > 0:
         dur = dur * token_dur_scaling

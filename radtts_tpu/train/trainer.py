@@ -190,9 +190,17 @@ _BATCH_KEYS = ("mel", "speaker_ids", "text", "input_lengths",
                "voiced_mask", "energy_avg")
 
 
-def make_mesh(devices=None):
+def make_mesh(devices=None, n_model=1):
+    """dp(×tp) mesh for the training loop.
+
+    Delegates to parallel.mesh.make_mesh so the trainer, the driver dryrun
+    (__graft_entry__.dryrun_multichip) and tests/test_parallel.py all build
+    the same ('data', 'model') mesh; n_model=1 degenerates to pure DP (the
+    reference's only strategy, distributed.py:101-153)."""
+    from radtts_tpu.parallel.mesh import make_mesh as _make_mesh
     devices = np.array(devices if devices is not None else jax.devices())
-    return Mesh(devices, ("data",))
+    return _make_mesh(n_data=devices.size // n_model, n_model=n_model,
+                      devices=devices)
 
 
 def shard_batch(batch, mesh):
@@ -309,10 +317,20 @@ def train(config, output_directory, epochs, optim_algo, learning_rate,
             output_directory.encode()).hexdigest(), 16) % 2000
     print(f"Using seed {seed}")
 
-    mesh = make_mesh()
+    # dist_config.n_model > 1 enables tensor parallelism over the WN
+    # coupling hidden channels in addition to data parallelism (the
+    # reference's CLI only reaches DP, distributed.py:48-64; here
+    # `-p dist_config.n_model=2` shards the decoder too)
+    n_model = int(config.get("dist_config", {}).get("n_model", 1))
     n_devices = len(jax.devices())
-    assert batch_size % n_devices == 0 or n_devices == 1, (
-        f"batch_size {batch_size} not divisible by {n_devices} devices")
+    assert n_devices % n_model == 0, (
+        f"n_model {n_model} does not divide {n_devices} devices")
+    mesh = make_mesh(n_model=n_model)
+    n_data = mesh.shape["data"]
+    if n_model > 1:
+        print(f"> mesh: data={n_data} x model={n_model}")
+    assert batch_size % n_data == 0 or n_data == 1, (
+        f"batch_size {batch_size} not divisible by {n_data} data shards")
 
     # multi-host: each process loads a disjoint dataset shard (reference:
     # DistributedSampler, train.py:147-149) and only rank 0 logs/checkpoints
@@ -346,9 +364,19 @@ def train(config, output_directory, epochs, optim_algo, learning_rate,
             opt_state = opt_state_l
         iteration = meta["iteration"] + 1
 
+    # place params/optimizer on the mesh: TP rules shard the WN stacks when
+    # n_model > 1, everything else (and the n_model == 1 case) replicates
+    from radtts_tpu.parallel.mesh import param_shardings
+    params = jax.device_put(params, param_shardings(params, mesh))
+    opt_state = jax.device_put(opt_state,
+                               param_shardings(opt_state, mesh))
+
     train_step = make_train_step(model_config, loss_weights, sigma,
                                  optimizer, trainable_mask,
                                  use_amp=bool(use_amp))
+    # built ONCE: rebuilding per validation would re-trace + recompile the
+    # whole eval graph at every checkpoint (expensive on tunneled backends)
+    eval_step = make_eval_step(model_config, loss_weights, sigma)
 
     ignore_keys = ["training_files", "validation_files"]
     trainset = Data(data_config["training_files"],
@@ -359,9 +387,17 @@ def train(config, output_directory, epochs, optim_algo, learning_rate,
                      if k not in ignore_keys},
                   speaker_ids=trainset.speaker_ids)
     collate_fn = DataCollate()
-    train_loader = DataLoader(trainset, batch_size, collate_fn,
-                              shuffle=True, seed=seed, rank=process_rank,
-                              world_size=n_process)
+    # num_worker_procs > 0: fetch samples in worker PROCESSES (reference
+    # uses 8, train.py:151-154) — first-epoch pyin cache misses are
+    # GIL-bound, so threads alone cannot parallelize a cold epoch
+    num_worker_procs = int(kwargs.get("num_worker_procs", 0))
+    from radtts_tpu.data.dataset import data_factory
+    train_loader = DataLoader(
+        trainset, batch_size, collate_fn, shuffle=True, seed=seed,
+        rank=process_rank, world_size=n_process,
+        num_worker_procs=num_worker_procs,
+        worker_init=(data_factory, (data_config, "training_files",
+                                    trainset.speaker_ids)))
 
     logger = (prepare_output_folder(output_directory, config)
               if is_rank0 else None)
@@ -407,7 +443,8 @@ def train(config, output_directory, epochs, optim_algo, learning_rate,
                     iteration, params, model_config, loss_weights, sigma,
                     valset, collate_fn, batch_size, mesh, logger=logger,
                     train_config=train_config,
-                    sampling_rate=data_config["sampling_rate"])
+                    sampling_rate=data_config["sampling_rate"],
+                    eval_step=eval_step)
                 if is_rank0:
                     ckpt = os.path.join(output_directory,
                                         f"model_{iteration}")
@@ -442,12 +479,16 @@ def resume(path, params, opt_state, model_config):
 def compute_validation_loss(iteration, params, model_config, loss_weights,
                             sigma, valset, collate_fn, batch_size, mesh,
                             logger=None, train_config=None,
-                            sampling_rate=22050):
+                            sampling_rate=22050, eval_step=None):
     """(reference: train.py:200-297) full-val-set losses under binarized
-    attention; attention images + optional audio samples to TensorBoard."""
+    attention; attention images + optional audio samples to TensorBoard.
+
+    Pass a prebuilt eval_step (train() does) so repeated validations reuse
+    one jitted function instead of re-tracing every checkpoint."""
     from radtts_tpu.data.dataset import DataLoader
 
-    eval_step = make_eval_step(model_config, loss_weights, sigma)
+    if eval_step is None:
+        eval_step = make_eval_step(model_config, loss_weights, sigma)
     val_loader = DataLoader(valset, batch_size, collate_fn, shuffle=False,
                             drop_last=False)
     totals = {}

@@ -41,13 +41,14 @@ def vocoder_train_init(key, h):
 
 
 def make_optimizers(lr=2e-4, betas=(0.8, 0.99), lr_decay=0.999,
-                    decay_every=1000):
-    """AdamW-style Adam pair with stepped exponential decay (upstream
-    HiFi-GAN decays per epoch; decay_every steps approximates that for a
-    step-based loop)."""
+                    decay_every=1000, weight_decay=0.01):
+    """AdamW pair (upstream HiFi-GAN: AdamW betas (0.8, 0.99), weight
+    decay 0.01) with stepped exponential decay (upstream decays per epoch;
+    decay_every steps approximates that for a step-based loop)."""
     sched = optax.exponential_decay(lr, decay_every, lr_decay,
                                     staircase=True)
-    mk = lambda: optax.adam(sched, b1=betas[0], b2=betas[1])
+    mk = lambda: optax.adamw(sched, b1=betas[0], b2=betas[1],
+                             weight_decay=weight_decay)
     return mk(), mk()
 
 
@@ -75,9 +76,16 @@ def make_vocoder_train_step(mel_kwargs, optim_g, optim_d,
         loss_s, _, _ = discriminator_loss(sr, sg_)
         return loss_p + loss_s, (loss_p, loss_s)
 
+    # The generator pass is differentiated: the Pallas MRF kernel has no
+    # transpose rule (jax registers only JVP/batching for pallas_call), so
+    # reverse-mode AD through it raises at trace time on TPU. Grads always
+    # go through the XLA MRF; the forward-only stop-gradient discriminator
+    # pass and inference keep the fused kernel.
+    gen_mrf_impl = "xla" if mrf_impl in ("auto", "pallas") else mrf_impl
+
     def gen_loss_fn(gen_params, dparams, mel_in, mel_target, audio):
         y_hat = hifigan_generator_apply(gen_params, mel_in,
-                                        mrf_impl=mrf_impl)
+                                        mrf_impl=gen_mrf_impl)
         mel_hat = mel_fn(y_hat)
         loss_mel = jnp.mean(jnp.abs(mel_hat - mel_target)) * 45.0
         pr, pg, fr, fg = multi_period_discriminator_apply(

@@ -172,3 +172,35 @@ def test_inference_cli_batched(tmp_path):
         lengths.append(len(audio))
     # per-item trimming: the wavs must not all share the padded length
     assert len(set(lengths)) > 1, lengths
+
+
+def test_use_amp_changes_traced_dtype():
+    """--use_amp wiring (reference autocast anchor: inference.py:121):
+    tracing the inference graph under the amp scope must run the coupling
+    predictor stacks in bfloat16; without the flag no bf16 op may appear.
+    Guards against the flag silently becoming dead again."""
+    import jax
+    import jax.numpy as jnp
+
+    from radtts_tpu.models.radtts import radtts_infer, radtts_init
+    from radtts_tpu.ops import amp as _amp
+    from radtts_tpu.ops.invertible import precompute_inverses
+    from tests.small_model import MODEL_CONFIG
+
+    params = precompute_inverses(
+        radtts_init(jax.random.PRNGKey(0), MODEL_CONFIG))
+    B, N, T = 1, 8, 16
+    text = jnp.ones((B, N), jnp.int32)
+    spk = jnp.zeros((B,), jnp.int32)
+    dur = jnp.full((B, N), T // N, jnp.int32)
+
+    def traced(use_amp):
+        def f(params, rng):
+            with _amp.scope(use_amp):
+                out = radtts_infer(params, rng, spk, text, 0.8, T, dur=dur,
+                                   sigma_f0=1.0, sigma_energy=1.0)
+            return out["mel"]
+        return str(jax.make_jaxpr(f)(params, jax.random.PRNGKey(0)))
+
+    assert "bf16" in traced(True)
+    assert "bf16" not in traced(False)

@@ -97,6 +97,92 @@ def test_tp_matches_single_device():
     np.testing.assert_allclose(float(gn1), float(gn_tp), rtol=2e-3)
 
 
+@pytest.fixture(scope="module")
+def tiny_corpus(tmp_path_factory):
+    """8 train + 1 val synthetic wavs with filelists (train() needs a real
+    Data pipeline; batch_size=8 divides both the 8-way DP and 4x2 dp*tp
+    meshes)."""
+    from scipy.io import wavfile
+
+    sr = 22050
+    root = tmp_path_factory.mktemp("tp_corpus")
+    (root / "wavs").mkdir()
+    (root / "cache").mkdir()
+    r = np.random.default_rng(0)
+    texts = ["The cat sat.", "A dog ran.", "Hello there.", "Go now.",
+             "One two.", "Red fox.", "Blue sky.", "Warm sun.", "Old tree."]
+    rows = []
+    for i, text in enumerate(texts):
+        t = np.arange(int(sr * (0.35 + 0.05 * i))) / sr
+        y = 0.4 * np.sin(2 * np.pi * (140 + 25 * i) * t)
+        y += 0.02 * r.standard_normal(len(t))
+        name = f"u{i}.wav"
+        wavfile.write(root / "wavs" / name, sr, (y * 32767).astype(np.int16))
+        rows.append(f"{name}|{text}|spk0")
+    (root / "train.txt").write_text("\n".join(rows[:8]) + "\n")
+    (root / "val.txt").write_text(rows[8] + "\n")
+    return root
+
+
+def _train_cli_config(root, outdir, n_model):
+    """Full 4-block config as the train.py CLI would assemble it."""
+    from tests.small_model import MODEL_CONFIG
+    from tests.test_train_e2e import DATA_CONFIG
+
+    del n_model  # applied by the caller via update_params
+    files = {"TINY": {"basedir": str(root), "audiodir": "wavs",
+                      "filelist": None, "lmdbpath": ""}}
+    data_config = dict(DATA_CONFIG,
+                       training_files={"TINY": dict(files["TINY"],
+                                                    filelist="train.txt")},
+                       validation_files={"TINY": dict(files["TINY"],
+                                                      filelist="val.txt")},
+                       betabinom_cache_path=str(root / "cache"),
+                       lmdb_cache_path="")
+    train_config = {
+        "output_directory": str(outdir), "epochs": 1,
+        "optim_algo": "RAdam", "learning_rate": 1e-4, "weight_decay": 1e-6,
+        "sigma": 1.0, "iters_per_checkpoint": 50, "batch_size": 8,
+        "seed": 0, "checkpoint_path": "", "ignore_layers": [],
+        "ignore_layers_warmstart": [], "include_layers": [],
+        "finetune_layers": [], "warmstart_checkpoint_path": "",
+        "use_amp": False, "grad_clip_val": 1.0,
+        "loss_weights": dict(__import__("__graft_entry__")._LOSS_WEIGHTS),
+        "binarization_start_iter": 0, "kl_loss_start_iter": 0,
+        "unfreeze_modules": "all",
+    }
+    return {"train_config": train_config, "data_config": data_config,
+            "dist_config": {"dist_backend": "nccl", "n_model": 1},
+            "model_config": dict(MODEL_CONFIG, n_speakers=1)}
+
+
+@pytest.mark.slow
+def test_train_entry_tp_matches_dp(tiny_corpus, tmp_path):
+    """`-p dist_config.n_model=2` through the train() entry point (the same
+    code path the CLI drives) must reproduce the pure-DP parameters after a
+    real optimizer step — TP is user-launchable, not just dryrun-provable
+    (reference parallelism is CLI-reachable, train.py:488-491)."""
+    from radtts_tpu.config import update_params
+    from radtts_tpu.train.checkpoint import tree_to_flat_dict
+    from radtts_tpu.train.trainer import train
+
+    results = {}
+    for n_model in (1, 2):
+        cfg = _train_cli_config(tiny_corpus, tmp_path / f"out{n_model}", 1)
+        # dot-path override exactly as the CLI would apply it
+        update_params(cfg, [f"dist_config.n_model={n_model}"])
+        assert cfg["dist_config"]["n_model"] == n_model
+        params = train(cfg, **cfg["train_config"])
+        results[n_model] = tree_to_flat_dict(params)
+
+    flat1, flat2 = results[1], results[2]
+    assert set(flat1) == set(flat2)
+    for k in flat1:
+        np.testing.assert_allclose(
+            np.asarray(flat1[k]), np.asarray(flat2[k]),
+            rtol=2e-3, atol=1e-6, err_msg=k)
+
+
 def _fake_val_items(n_items, n_mel, seed=0):
     """Synthetic per-sample dicts shaped like Data.__getitem__ output."""
     r = np.random.default_rng(seed)

@@ -325,3 +325,33 @@ def test_amp_train_step_parity_and_convergence():
     assert np.isfinite(amp_losses).all()
     assert amp_losses[-1] < amp_losses[0] - 0.5, (amp_losses[0],
                                                   amp_losses[-1])
+
+
+def test_dataloader_process_pool_matches_threads(tiny_dataset):
+    """num_worker_procs>0 (reference's worker-process analogue,
+    train.py:151-154): the spawn-pool loader must yield byte-identical
+    batches to the in-process thread loader."""
+    root, cache = tiny_dataset
+    ds = _make_data(root, cache, "train.txt")
+    files = {"TINY": {"basedir": str(root), "audiodir": "wavs",
+                      "filelist": "train.txt", "lmdbpath": ""}}
+    data_config = dict(DATA_CONFIG, training_files=files,
+                       betabinom_cache_path=str(cache), lmdb_cache_path="")
+    from radtts_tpu.data.dataset import data_factory
+
+    lt = DataLoader(ds, 2, DataCollate(), shuffle=True, seed=3)
+    lp = DataLoader(ds, 2, DataCollate(), shuffle=True, seed=3,
+                    num_worker_procs=2,
+                    worker_init=(data_factory,
+                                 (data_config, "training_files",
+                                  ds.speaker_ids)))
+    try:
+        bt_list, bp_list = list(lt), list(lp)
+        assert len(bt_list) == len(bp_list) == 1
+        for bt, bp in zip(bt_list, bp_list):
+            assert set(bt) == set(bp)
+            for k in bt:
+                if isinstance(bt[k], np.ndarray):
+                    np.testing.assert_array_equal(bt[k], bp[k], err_msg=k)
+    finally:
+        lp.close()

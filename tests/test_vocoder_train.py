@@ -101,3 +101,22 @@ def test_segment_sampler_shapes(tmp_path):
     out = s.sample(3)
     assert out.shape == (3, 4096)
     assert np.abs(out).max() <= 1.0
+
+
+def test_gen_grads_trace_with_pallas_mrf_requested():
+    """mrf_impl='pallas' (what 'auto' resolves to on TPU): the generator
+    gradient pass must still trace — pallas_call has no transpose rule in
+    jax, so reverse-mode AD through the fused MRF would raise at trace
+    time. The step routes gen grads through the XLA MRF while keeping the
+    kernel for the forward-only discriminator pass."""
+    params = vocoder_train_init(jax.random.PRNGKey(0), H_SMALL)
+    optim_g, optim_d = make_optimizers()
+    opt_g = optim_g.init(params["gen"])
+    opt_d = optim_d.init({"mpd": params["mpd"], "msd": params["msd"]})
+    step = make_vocoder_train_step(MEL_KW, optim_g, optim_d,
+                                   mrf_impl="pallas")
+    audio = jax.ShapeDtypeStruct((2, 4096), jnp.float32)
+    rng = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    # abstract trace only — no lowering, so it runs without a TPU backend;
+    # raises NotImplementedError if pallas ends up in the diff path
+    jax.eval_shape(step, params, opt_g, opt_d, audio, rng)

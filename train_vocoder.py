@@ -82,6 +82,20 @@ def main(args, config):
     opt_g = optim_g.init(params["gen"])
     opt_d = optim_d.init({"mpd": params["mpd"], "msd": params["msd"]})
 
+    start_it = 0
+    if args.resume:
+        # full-state resume: generator + discriminators + both optimizer
+        # states (a generator-only restart would re-initialize MPD/MSD
+        # against a trained generator and destabilize the GAN)
+        from radtts_tpu.train.checkpoint import load_checkpoint
+        params, opts, meta = load_checkpoint(
+            args.resume, params, {"g": opt_g, "d": opt_d})
+        if opts is not None:
+            opt_g, opt_d = opts["g"], opts["d"]
+        start_it = int(meta["iteration"])
+        print(f"resumed full GAN state from '{args.resume}' "
+              f"(iteration {start_it})")
+
     p_blur = float(h.get("gaussian_blur", {}).get("p_blurring", 0.0))
     step = make_vocoder_train_step(mel_kwargs, optim_g, optim_d,
                                    p_blurring=p_blur)
@@ -92,7 +106,7 @@ def main(args, config):
 
     rng = jax.random.PRNGKey(args.seed + 1)
     tic = time.time()
-    for it in range(args.steps):
+    for it in range(start_it, args.steps):
         audio = jnp.asarray(sampler.sample(args.batch_size))
         rng, sub = jax.random.split(rng)
         params, opt_g, opt_d, metrics = step(params, opt_g, opt_d, audio,
@@ -109,7 +123,13 @@ def main(args, config):
             out = os.path.join(args.output_dir, f"g_{it + 1:08d}.pt")
             torch.save({"generator": hifigan_generator_to_torch(
                 params["gen"])}, out)
-            print(f"saved {out}", flush=True)
+            # companion full-state checkpoint (upstream HiFi-GAN's do_*):
+            # discriminators + both optimizer states, for --resume
+            from radtts_tpu.train.checkpoint import save_checkpoint
+            do_path = os.path.join(args.output_dir, f"do_{it + 1:08d}")
+            save_checkpoint(do_path, params, {"g": opt_g, "d": opt_d},
+                            iteration=it + 1)
+            print(f"saved {out} + {do_path}.npz", flush=True)
 
 
 if __name__ == "__main__":
@@ -121,6 +141,9 @@ if __name__ == "__main__":
     ap.add_argument("-o", "--output_dir", type=str, required=True)
     ap.add_argument("--warmstart", type=str, default="",
                     help="torch {'generator': sd} checkpoint to start from")
+    ap.add_argument("--resume", type=str, default="",
+                    help="do_* full-state checkpoint (gen+discs+optims) "
+                         "saved by this CLI")
     ap.add_argument("--steps", type=int, default=10000)
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--segment_size", type=int, default=8192)
