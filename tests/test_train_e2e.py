@@ -355,3 +355,34 @@ def test_dataloader_process_pool_matches_threads(tiny_dataset):
                     np.testing.assert_array_equal(bt[k], bp[k], err_msg=k)
     finally:
         lp.close()
+
+
+def test_validation_reuses_prebuilt_eval_step(monkeypatch):
+    """train() builds the jitted eval step ONCE; repeated validations must
+    neither rebuild it (re-trace) nor grow its jit cache (recompile) —
+    each validation used to pay a full trace+compile on tunneled backends."""
+    import radtts_tpu.train.trainer as trainer_mod
+    from radtts_tpu.train.trainer import (compute_validation_loss,
+                                          make_eval_step, make_mesh)
+    from tests.test_parallel import _fake_val_items
+    from __graft_entry__ import _LOSS_WEIGHTS
+
+    cfg = dict(MODEL_CONFIG_TRAIN)
+    params = radtts_init(jax.random.PRNGKey(0), cfg)
+    valset = _fake_val_items(2, cfg["n_mel_channels"])
+    mesh = make_mesh(jax.devices()[:1])
+    eval_step = make_eval_step(cfg, LOSS_WEIGHTS, 1.0)
+
+    calls = []
+    monkeypatch.setattr(trainer_mod, "make_eval_step",
+                        lambda *a, **k: calls.append(1) or eval_step)
+
+    for _ in range(2):
+        totals = compute_validation_loss(
+            0, params, cfg, _LOSS_WEIGHTS, 1.0, valset, DataCollate(),
+            batch_size=2, mesh=mesh, logger=None, eval_step=eval_step)
+        assert totals
+    assert not calls, "validation rebuilt the eval step"
+    if hasattr(eval_step, "_cache_size"):
+        # same val shapes -> exactly one compiled executable
+        assert eval_step._cache_size() == 1
