@@ -2,8 +2,8 @@
 """Benchmark: LJSpeech-style text -> waveform real-time factor on one chip.
 
 Runs the flagship RADTTS++ (config_ljs_dap model config) + HiFi-GAN v1
-pipeline end-to-end (durations -> attributes -> inverse flow -> vocoder ->
-denoiser), jitted, steady-state timed (compile excluded).
+pipeline (durations -> attributes -> inverse flow -> vocoder -> denoiser),
+jitted, steady-state timed (compile excluded).
 
 Prints ONE JSON line:
   {"metric": "text_to_wav_rtf", "value": RTF, "unit": "compute_s_per_audio_s",
@@ -11,18 +11,28 @@ Prints ONE JSON line:
 The baseline target is RTF 0.01/chip (BASELINE.md north star; the reference
 publishes no numbers).
 
-Budget discipline (the round-2 bench timed out with nothing printed):
-- ONE compiled program total. The measurement scan takes the trip count as a
-  runtime operand: inactive steps are skipped by a scalar `lax.cond`, so the
-  10-iteration and 1-iteration timings share one executable and one compile.
-- The XLA persistent compilation cache is enabled (.jax_cache/), so reruns on
-  the same machine skip the big compile entirely.
+Budget discipline (the round-2 bench timed out with nothing printed; the
+first round-3 rewrite compiled ONE fused text->wav program and the tunnel's
+REMOTE compile service dropped the request ~30 min in, every attempt, at
+every unroll factor):
+- The pipeline is timed as THREE stage programs (durations / decode /
+  vocoder+denoiser), each of which compiles in seconds-to-minutes and is
+  covered by the XLA persistent compilation cache (.jax_cache/). Per-stage
+  times are measured with the tunnel-robust scan+difference method and
+  summed — the stages are strictly sequential at inference, so the sum is
+  the pipeline compute time (boundary transfers are device-resident).
+- Each stage's repetitions run INSIDE one jitted lax.scan (one dispatch,
+  one sync); the trip count is a runtime operand (scalar lax.cond skips
+  inactive steps), so the 10-iter and 1-iter timings share one executable.
+  The 1-iter time of the SAME program is subtracted (difference method) to
+  cancel the weather-dependent dispatch+sync overhead (measured 0.7 ms to
+  >1 s through the tunnel).
+- Stage iterations are chained through a non-constant-foldable scalar so
+  they serialize on-device even where block_until_ready lies.
 - The whole run executes on a worker thread under a wall-clock budget
   (BENCH_BUDGET_S, default 520 s). The main thread is a watchdog: on budget
-  expiry or SIGTERM it prints the best result recorded so far and exits 0 —
-  device-blocked syncs on the worker cannot delay it. A cheap chained-dispatch
-  fallback measurement is recorded right after warmup, so a JSON line exists
-  within seconds of the first executable being ready.
+  expiry or SIGTERM it prints the best result recorded so far and exits 0.
+  A chained-dispatch fallback is recorded as soon as all stages compile.
 """
 
 import json
@@ -37,6 +47,10 @@ import numpy as np
 _REPO = os.path.dirname(os.path.abspath(__file__))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(_REPO, ".jax_cache"))
+# The remote compile service drops very large programs (the 8x-unrolled
+# recurrence bodies); unroll=1 compiles reliably and costs ~5% steady-state
+# on the decode stage. Training keeps its own default.
+os.environ.setdefault("RADTTS_SCAN_UNROLL", "1")
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +65,7 @@ TARGET_RTF = 0.01
 SR = 22050
 HOP = 256
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "520"))
+N_ITERS = 10
 
 HIFIGAN_V1 = {
     "resblock": "1",
@@ -65,23 +80,25 @@ HIFIGAN_V1 = {
 
 from contextlib import nullcontext as _nullcontext
 
+_T0 = time.monotonic()
+
 
 def _log(msg):
     print(f"[bench +{time.monotonic() - _T0:.1f}s] {msg}",
           file=sys.stderr, flush=True)
 
 
-_T0 = time.monotonic()
-
-
-def _result(rtf, method):
-    return {
+def _result(rtf, method, stages=None):
+    out = {
         "metric": "text_to_wav_rtf",
         "value": round(rtf, 6),
         "unit": "compute_s_per_audio_s",
         "vs_baseline": round(TARGET_RTF / rtf, 4),
         "method": method,
     }
+    if stages:
+        out["stage_ms"] = {k: round(v * 1000, 3) for k, v in stages.items()}
+    return out
 
 
 def run_bench(state, deadline):
@@ -89,16 +106,15 @@ def run_bench(state, deadline):
     from radtts_tpu.models.hifigan import (denoiser_apply, denoiser_init,
                                            hifigan_generator_apply,
                                            hifigan_generator_init)
-    from radtts_tpu.models.radtts import (infer_durations, radtts_infer,
-                                          radtts_init)
+    from radtts_tpu.models.radtts import infer_durations, radtts_infer, \
+        radtts_init
     from radtts_tpu.ops.invertible import precompute_inverses
     from radtts_tpu.text.processing import TextProcessing
 
     model_config = _flagship_model_config(small=False)
     # Init on the host CPU backend: eager init issues hundreds of tiny ops,
     # and per-dispatch overhead through the tunneled TPU backend has been
-    # measured at up to ~1 s — init alone could eat the whole budget. One
-    # batched device_put moves the finished pytrees over.
+    # measured at up to ~1 s. One batched device_put moves the pytrees over.
     _log("init on cpu")
     try:
         cpu = jax.local_devices(backend="cpu")[0]
@@ -129,97 +145,133 @@ def run_bench(state, deadline):
     max_frames = 608  # 608 frames * 256 hop / 22050 Hz = 7.06 s
     g = model_config["n_group_size"]
     assert max_frames % (16 * g) == 0
+    audio_seconds = max_frames * HOP / SR
 
     text_ids = jnp.asarray(encoded)
+    N = text_ids.shape[1]
+    n_mel = model_config["n_mel_channels"]
 
-    def synthesize(rng, chain):
-        # `chain` is a scalar derived from the previous iteration's audio;
-        # folding it into the key makes iterations data-dependent so they
-        # serialize on-device even if block_until_ready is a no-op (the
-        # tunneled backend has been observed to return from it immediately).
-        # The 1e-30 scale is numerically zero but NOT constant-foldable, so
-        # XLA cannot sever the dependency (x & 0 or 0*x would be folded).
-        rng = jax.random.fold_in(
-            rng, (jnp.abs(chain) * 1e-30).astype(jnp.int32))
-        r_dur, r_dec = jax.random.split(rng)
-        dur = infer_durations(params, r_dur, speaker, text_ids,
+    keys = jax.random.split(jax.random.PRNGKey(2), N_ITERS)
+    rng_fix = np.random.default_rng(0)
+    # Representative fixed stage inputs. Stage timing on TPU is
+    # data-independent (static shapes, no data-dependent control flow), so
+    # random values at realistic shapes measure the same program the real
+    # pipeline runs.
+    dur0 = jnp.full((1, N), max_frames // N, jnp.int32)
+    dur0 = dur0.at[:, -1].add(max_frames - int(jnp.sum(dur0)))
+    mel0 = jnp.asarray(
+        rng_fix.standard_normal((1, max_frames, n_mel)).astype(np.float32))
+
+    def _fold(key, chain):
+        # numerically zero but NOT constant-foldable (x & 0 would fold):
+        # makes every iteration depend on the previous one's output, so
+        # steps serialize on-device even if block_until_ready is a no-op.
+        return jax.random.fold_in(
+            key, (jnp.abs(chain) * 1e-30).astype(jnp.int32))
+
+    # --- stage bodies: (consts, key, chain) -> chain' -------------------
+    def s_durations(consts, key, chain):
+        p, = consts
+        dur = infer_durations(p, _fold(key, chain), speaker, text_ids,
                               sigma_dur=0.666)
-        # rescale durations to exactly fill the static frame budget
         total = jnp.maximum(jnp.sum(dur), 1)
         dur = jnp.floor(dur * (max_frames / total)).astype(jnp.int32)
         dur = dur.at[:, -1].add(max_frames - jnp.sum(dur))
-        out = radtts_infer(params, r_dec, speaker, text_ids, 0.8,
-                           max_frames, dur=dur, sigma_f0=1.0,
+        return chain + jnp.sum(dur).astype(jnp.float32) * 1e-30
+
+    def s_decode(consts, key, chain):
+        p, d0 = consts
+        out = radtts_infer(p, _fold(key, chain), speaker, text_ids, 0.8,
+                           max_frames, dur=d0, sigma_f0=1.0,
                            sigma_energy=1.0)
+        return chain + jnp.sum(out["mel"][0, :2, :2]) * 1e-30
+
+    def s_vocoder(consts, key, chain):
+        voc, den, m0 = consts
         # mrf_impl defaults to "auto": the fused Pallas MRF kernel on TPU
         # (ops/pallas_mrf.py; interleaved A/B: 1.7-2.3x per stage vs XLA)
-        audio = hifigan_generator_apply(vocoder, out["mel"])
-        audio = denoiser_apply(denoiser, audio, strength=0.01)
-        return audio, jnp.sum(audio[:, :8])
+        audio = hifigan_generator_apply(voc, m0 + chain * 1e-30)
+        audio = denoiser_apply(den, audio, strength=0.01)
+        return chain + jnp.sum(audio[0, :8]) * 1e-30
 
-    n_iters = 10
-    keys = jax.random.split(jax.random.PRNGKey(2), n_iters)
+    def scan_program(stage_fn):
+        """One jitted program per stage; trip count is a runtime operand so
+        the long and short timings share one executable. Params flow as jit
+        ARGS (closure-captured pytrees bake into the HLO as constants and
+        blow past the remote-compile request limit)."""
+        @jax.jit
+        def run(n_active, chain0, consts):
+            def body(chain, inp):
+                i, key = inp
+                return lax.cond(i < n_active,
+                                lambda c: stage_fn(consts, key, c),
+                                lambda c: c, chain), ()
+            return lax.scan(body, chain0,
+                            (jnp.arange(N_ITERS), keys))[0]
+        return run
 
-    # All iterations run INSIDE one jitted lax.scan: a single dispatch and a
-    # single sync for the whole measurement. The tunneled backend's
-    # per-dispatch overhead is large and weather-dependent (measured 0.7 ms
-    # to >1 s on different days) — chaining eager dispatches folds that noise
-    # into the metric. The trip count `n_active` is a RUNTIME operand: steps
-    # with index >= n_active are skipped by a scalar lax.cond (a true HLO
-    # conditional on TPU — the inactive branch does not execute), so the long
-    # and short timings come from the SAME executable and only one program is
-    # ever compiled. Each active step depends on the previous iteration's
-    # audio through `chain`, so steps serialize on-device.
-    @jax.jit
-    def run_iters(n_active, chain0):
-        def body(chain, inp):
-            i, key = inp
-            def active(c):
-                audio, c2 = synthesize(key, c)
-                return c2, audio[0, :4]
-            def skip(c):
-                return c, jnp.zeros((4,), jnp.float32)
-            return lax.cond(i < n_active, active, skip, chain)
-        return lax.scan(body, chain0, (jnp.arange(n_iters), keys))
+    stages = [
+        ("durations", scan_program(s_durations), (params,)),
+        ("decode", scan_program(s_decode), (params, dur0)),
+        ("vocoder", scan_program(s_vocoder), (vocoder, denoiser, mel0)),
+    ]
 
     chain = jnp.zeros((), jnp.float32)
+    one = jnp.int32(1)
+    ten = jnp.int32(N_ITERS)
 
-    def timecall(n_active):
+    def timecall(run, n_active, consts):
         tic = time.perf_counter()
         # sync via scalar host transfer (authoritative even where
         # block_until_ready does not actually block)
-        float(run_iters(n_active, chain)[0])
+        float(run(n_active, chain, consts))
         return time.perf_counter() - tic
 
-    # compile + warmup (persistent-cache hit on reruns)
-    _log("tracing+compiling run_iters")
-    t_compile = timecall(1)
-    _log(f"compile+first-call done in {t_compile:.1f}s")
+    # compile all stages (persistent-cache hit on reruns); the remote
+    # compile service occasionally drops long requests — retry transients
+    t_single = {}
+    for name, run, consts in stages:
+        _log(f"compiling stage {name}")
+        for attempt in range(3):
+            try:
+                t = timecall(run, one, consts)
+                break
+            except Exception as exc:
+                _log(f"stage {name} attempt {attempt + 1} failed: {exc!r}")
+                if attempt == 2 or time.monotonic() > deadline - 60:
+                    raise
+                time.sleep(10)
+        _log(f"stage {name} compile+first-call {t:.1f}s")
+        t_single[name] = [timecall(run, one, consts) for _ in range(2)]
 
-    audio_seconds = max_frames * HOP / SR
-
-    # Fallback measurement FIRST: chained single-iteration dispatches.
-    # Includes per-dispatch tunnel overhead, so it upper-bounds the true RTF
-    # — an honest conservative number available within seconds of compile.
-    t1 = [timecall(1) for _ in range(3)]
-    state["best"] = _result(min(t1) / audio_seconds, "fallback")
+    # Fallback FIRST: sum of chained single-iteration dispatches. Includes
+    # one dispatch+sync overhead per stage, so it upper-bounds the true RTF
+    # — an honest conservative number available right after compile.
+    rtf_fb = sum(min(v) for v in t_single.values()) / audio_seconds
+    state["best"] = _result(rtf_fb, "staged_fallback")
     _log(f"fallback recorded: {state['best']}")
 
-    # Difference method: the dispatch+sync round trip through the tunnel is
-    # large and weather-dependent, so time the 10-iteration call against the
-    # 1-iteration call of the same executable — identical overhead on both
-    # cancels in the difference.
-    t_long, t_short = [], list(t1)
+    # Difference method, stages interleaved within each round (the shared
+    # chip's throttling drifts minute-to-minute).
+    t_long = {n: [] for n, _, _ in stages}
+    t_short = {n: list(t_single[n]) for n, _, _ in stages}
+    per_iter = {}
     for _ in range(7):
         if time.monotonic() > deadline - 30:
             break
-        t_long.append(timecall(n_iters))
-        t_short.append(timecall(1))
-        if len(t_long) >= 2:
-            diff = min(t_long) - min(t_short)
-            if diff > 0:
-                rtf = diff / (n_iters - 1) / audio_seconds
-                state["best"] = _result(rtf, "scan_diff")
+        for name, run, consts in stages:
+            t_long[name].append(timecall(run, ten, consts))
+            t_short[name].append(timecall(run, one, consts))
+        ok = True
+        for name, _, _ in stages:
+            diff = min(t_long[name]) - min(t_short[name])
+            if diff <= 0:
+                ok = False
+                break
+            per_iter[name] = diff / (N_ITERS - 1)
+        if ok:
+            rtf = sum(per_iter.values()) / audio_seconds
+            state["best"] = _result(rtf, "staged_scan_diff", per_iter)
     _log(f"final: {state['best']}")
     state["done"] = True
 

@@ -93,7 +93,12 @@ def main(use_amp, n_iters):
     float(total)
     float(run_steps(params, opt_state, batch, keys[:1])[2])
 
-    # flops per step from the compiled HLO
+    # flops per step, two ways (they differ; report both honestly):
+    # - HLO: XLA cost analysis over the OPTIMIZED program — counts unrolled
+    #   /rematerialized ops and elementwise work, and grades fp32 ops
+    #   against the bf16 peak, so the derived MFU flatters the program;
+    # - analytic: dot/conv FLOPs from the traced jaxpr (fwd + AD backward),
+    #   the conventional "model FLOPs" MFU numerator.
     flops = None
     try:
         cost = step.lower(params, opt_state, batch, keys[-1], True,
@@ -103,6 +108,14 @@ def main(use_amp, n_iters):
         flops = float(cost.get("flops", 0.0)) or None
     except Exception as exc:  # cost analysis is best-effort per backend
         print(f"# cost_analysis unavailable: {exc}")
+    try:
+        from radtts_tpu.ops.flops import count_matmul_flops
+        flops_analytic = count_matmul_flops(
+            lambda p, o, b, k: step(p, o, b, k, True, True),
+            params, opt_state, batch, keys[-1])
+    except Exception as exc:
+        print(f"# analytic flops unavailable: {exc}")
+        flops_analytic = None
 
     # difference method: n_iters-step scan minus 1-step scan of the same
     # program cancels the (weather-dependent) dispatch+sync overhead
@@ -118,7 +131,9 @@ def main(use_amp, n_iters):
     step_s = max(min(t_long) - min(t_short), 1e-9) / (n_iters - 1)
 
     peak, kind = chip_peak_flops()
-    mfu = (flops / step_s / peak) if flops else None
+    mfu_hlo = (flops / step_s / peak) if flops else None
+    mfu_analytic = (flops_analytic / step_s / peak) if flops_analytic \
+        else None
     print(json.dumps({
         "metric": "train_step_frames_per_s",
         "value": round(B * T / step_s, 1),
@@ -126,8 +141,10 @@ def main(use_amp, n_iters):
         "steps_per_s": round(1.0 / step_s, 4),
         "step_s": round(step_s, 4),
         "batch": [B, N, T],
-        "flops_per_step": flops,
-        "mfu": round(mfu, 4) if mfu else None,
+        "flops_per_step_hlo": flops,
+        "flops_per_step_analytic": flops_analytic,
+        "mfu_hlo": round(mfu_hlo, 4) if mfu_hlo else None,
+        "mfu_analytic": round(mfu_analytic, 4) if mfu_analytic else None,
         "device": kind,
         "amp": bool(use_amp),
     }))

@@ -27,7 +27,12 @@ from jax import lax
 # lax.scan unroll factor for the recurrences: each scan step's FLOPs are
 # tiny, so per-step loop bookkeeping dominates; unrolling amortizes it at
 # the cost of a proportionally larger compiled body. A/B'd on chip.
-SCAN_UNROLL = 8
+# unroll=8 on the recurrence scans cuts per-step loop overhead on TPU
+# (A/B: decode 2.71 -> 2.13 ms) but multiplies HLO size and compile time
+# ~8x; RADTTS_SCAN_UNROLL=1 trades steady-state speed for fast compiles
+import os as _os
+
+SCAN_UNROLL = int(_os.environ.get("RADTTS_SCAN_UNROLL", "8"))
 
 
 def _uniform(key, shape, bound):

@@ -49,3 +49,34 @@ def static(**kwargs):
     clean = {k: tuple(v) if isinstance(v, list) else v
              for k, v in kwargs.items()}
     return Static(**clean)
+
+
+# jax.export serialization (bench.py round-trips the traced flagship
+# program through a disk artifact; params pytrees carry Static nodes).
+# Aux data is a tuple of sorted (key, value) pairs whose values are
+# scalars/strings or (possibly nested) tuples — JSON-encode with tuples
+# tagged so the round-trip is exact (plain JSON would turn them into
+# lists, changing the treedef hash).
+def _enc(v):
+    if isinstance(v, tuple):
+        return {"__t": [_enc(x) for x in v]}
+    return v
+
+
+def _dec(v):
+    if isinstance(v, dict) and "__t" in v:
+        return tuple(_dec(x) for x in v["__t"])
+    return v
+
+
+try:
+    import json
+
+    jax.export.register_pytree_node_serialization(
+        Static,
+        serialized_name="radtts_tpu.ops.static.Static",
+        serialize_auxdata=lambda aux: json.dumps(_enc(aux)).encode(),
+        deserialize_auxdata=lambda b: _dec(json.loads(b.decode())),
+    )
+except Exception:  # registration is only needed for export round-trips
+    pass
