@@ -1,33 +1,49 @@
 #!/usr/bin/env python
-"""Training-step benchmark: steps/s, mel frames/s, and an MFU estimate on
-one chip (reference trains with AMP, train.py:364,416-422; it publishes no
+"""Training-step benchmark: steps/s, mel frames/s, and MFU on one chip
+(reference trains with AMP, train.py:364,416-422; it publishes no
 throughput numbers — BASELINE.md).
 
 Runs the jitted full train step (forward + backward + RAdam update, MAS
 binarization + CTC on) on the flagship config_ljs_dap model at B=16 and
-LJS-typical sequence lengths. Steps serialize naturally (params/opt_state
-chain through the loop), so a single host sync at the end times the whole
-sequence — robust on tunneled backends where block_until_ready can return
-early (docs/DESIGN.md §8).
+LJS-typical sequence lengths.
 
-MFU = (HLO flops per step from XLA cost analysis) / (step_time * chip peak).
-Peak table uses bf16 MXU peak per chip generation; fp32 params run the MXU
-in bf16 passes at DEFAULT matmul precision, and the bf16 AMP mode feeds it
-bf16 activations outright.
+Methodology (docs/DESIGN.md §8): all timed steps run INSIDE one jitted
+lax.scan whose trip count is a RUNTIME operand (a scalar lax.cond skips
+inactive steps), so the long and short timings come from the SAME
+executable — subtracting them cancels dispatch+sync overhead without the
+cross-program noise that made earlier two-executable readings unstable
+(round 2 recorded both 0.0325 s/step and a negative difference from the
+same code). Steps serialize through the params/opt_state carry.
 
-Prints ONE JSON line:
-  {"metric": "train_step_frames_per_s", "value": ..., "unit": "mel_frames/s",
-   "steps_per_s": ..., "mfu": ..., "flops_per_step": ..., "amp": ...}
+MFU is reported two ways:
+- mfu_hlo: XLA cost-analysis FLOPs of the lowered program (counts every
+  op XLA will run, and grades fp32 ops against the bf16 peak table);
+- mfu_analytic: dot/conv FLOPs from the traced jaxpr (the conventional
+  model-FLOPs numerator; backward ops appear in the grad jaxpr, so no
+  fudge factor).
+
+Prints ONE JSON line.
 """
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_REPO, ".jax_cache"))
+
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 B, N, T = 16, 112, 512  # LJS-typical: ~5.9 s of audio per item
 
@@ -42,6 +58,13 @@ PEAK_FLOPS = {
     "TPU v6e": 918e12,
 }
 
+_T0 = time.monotonic()
+
+
+def _log(msg):
+    print(f"[bench_train +{time.monotonic() - _T0:.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
 
 def chip_peak_flops():
     kind = jax.devices()[0].device_kind
@@ -53,6 +76,8 @@ def chip_peak_flops():
 
 def main(use_amp, n_iters):
     n_iters = max(2, n_iters)  # difference method needs two trip counts
+    from contextlib import nullcontext
+
     from __graft_entry__ import (_LOSS_WEIGHTS, _example_batch,
                                  _flagship_model_config)
     from radtts_tpu.models.radtts import radtts_init
@@ -61,73 +86,92 @@ def main(use_amp, n_iters):
                                           make_train_step)
 
     model_config = _flagship_model_config(small=False)
-    params = radtts_init(jax.random.PRNGKey(0), model_config)
-    optimizer = build_optimizer("RAdam", 1e-4, 1e-6, 1.0)
-    mask = build_trainable_mask(params, "all", ())
-    opt_state = optimizer.init(params)
-    batch = _example_batch(0, B=B, N=N, T=T,
-                           n_mel=model_config["n_mel_channels"])
+    # init on the host CPU backend (eager init through the tunnel pays a
+    # round trip per op), one device_put for the finished pytrees
+    _log("init on cpu")
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    with jax.default_device(cpu) if cpu is not None else nullcontext():
+        params = radtts_init(jax.random.PRNGKey(0), model_config)
+        optimizer = build_optimizer("RAdam", 1e-4, 1e-6, 1.0)
+        mask = build_trainable_mask(params, "all", ())
+        opt_state = optimizer.init(params)
+        batch = _example_batch(0, B=B, N=N, T=T,
+                               n_mel=model_config["n_mel_channels"])
+    dev = jax.devices()[0]
+    params, opt_state, batch = jax.device_put((params, opt_state, batch),
+                                              dev)
+    _log(f"init done, transferred to {dev}")
 
     step = make_train_step(model_config, _LOSS_WEIGHTS, 1.0, optimizer,
                            mask, use_amp=use_amp)
-    rng = jax.random.PRNGKey(1)
-    keys = jax.random.split(rng, n_iters)
+    keys = jax.random.split(jax.random.PRNGKey(1), n_iters)
 
-    # All timed steps run INSIDE one jitted lax.scan (single dispatch);
-    # params/opt_state chain through the carry so steps serialize
-    # on-device. See docs/DESIGN.md §8: per-dispatch overhead through the
-    # tunnel ranges 0.7 ms to >1 s with tenant load.
     @jax.jit
-    def run_steps(params, opt_state, batch, kk):
-        def body(carry, key):
-            params, opt_state = carry
-            params, opt_state, total, _, _ = step(params, opt_state, batch,
-                                                  key, True, True)
-            return (params, opt_state), total
+    def run_steps(params, opt_state, batch, n_active):
+        def body(carry, inp):
+            i, key = inp
+
+            def active(c):
+                p, o = c
+                p, o, total, _, _ = step(p, o, batch, key, True, True)
+                return (p, o), total
+
+            def skip(c):
+                return c, jnp.float32(0)
+
+            return jax.lax.cond(i < n_active, active, skip, carry)
+
         (params, opt_state), totals = jax.lax.scan(
-            body, (params, opt_state), kk)
-        return params, opt_state, totals[-1]
+            body, (params, opt_state), (jnp.arange(n_iters), keys))
+        return params, opt_state, totals[0]
 
-    # compile + warmup both trip counts; sync via scalar host transfer
-    _, _, total = run_steps(params, opt_state, batch, keys)
-    float(total)
-    float(run_steps(params, opt_state, batch, keys[:1])[2])
+    def timecall(n_active):
+        tic = time.perf_counter()
+        # sync via scalar host transfer (block_until_ready can lie through
+        # the tunnel)
+        float(run_steps(params, opt_state, batch, jnp.int32(n_active))[2])
+        return time.perf_counter() - tic
 
-    # flops per step, two ways (they differ; report both honestly):
-    # - HLO: XLA cost analysis over the OPTIMIZED program — counts unrolled
-    #   /rematerialized ops and elementwise work, and grades fp32 ops
-    #   against the bf16 peak, so the derived MFU flatters the program;
-    # - analytic: dot/conv FLOPs from the traced jaxpr (fwd + AD backward),
-    #   the conventional "model FLOPs" MFU numerator.
-    flops = None
+    _log("compiling train-step scan")
+    for attempt in range(3):
+        try:
+            t = timecall(1)
+            break
+        except Exception as exc:
+            _log(f"compile attempt {attempt + 1} failed: {exc!r}")
+            if attempt == 2:
+                raise
+            time.sleep(10)
+    _log(f"compile+first-call {t:.1f}s")
+
+    flops = flops_analytic = None
     try:
-        cost = step.lower(params, opt_state, batch, keys[-1], True,
-                          True).compile().cost_analysis()
+        cost = run_steps.lower(params, opt_state, batch,
+                               jnp.int32(n_iters)).cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) or None
+        # the lowered scan runs n_iters bodies; divide down to one step
+        flops = (float(cost.get("flops", 0.0)) / n_iters) or None
     except Exception as exc:  # cost analysis is best-effort per backend
-        print(f"# cost_analysis unavailable: {exc}")
+        _log(f"cost_analysis unavailable: {exc}")
     try:
         from radtts_tpu.ops.flops import count_matmul_flops
         flops_analytic = count_matmul_flops(
             lambda p, o, b, k: step(p, o, b, k, True, True),
             params, opt_state, batch, keys[-1])
     except Exception as exc:
-        print(f"# analytic flops unavailable: {exc}")
-        flops_analytic = None
+        _log(f"analytic flops unavailable: {exc}")
 
-    # difference method: n_iters-step scan minus 1-step scan of the same
-    # program cancels the (weather-dependent) dispatch+sync overhead
-    def timecall(kk):
-        tic = time.perf_counter()
-        float(run_steps(params, opt_state, batch, kk)[2])
-        return time.perf_counter() - tic
-
+    # difference method on ONE executable: n_iters-step call minus 1-step
+    # call; identical dispatch overhead cancels
     t_long, t_short = [], []
-    for _ in range(4):
-        t_long.append(timecall(keys))
-        t_short.append(timecall(keys[:1]))
+    for i in range(4):
+        t_long.append(timecall(n_iters))
+        t_short.append(timecall(1))
+        _log(f"pair {i}: long={t_long[-1]:.3f}s short={t_short[-1]:.3f}s")
     step_s = max(min(t_long) - min(t_short), 1e-9) / (n_iters - 1)
 
     peak, kind = chip_peak_flops()
@@ -147,6 +191,8 @@ def main(use_amp, n_iters):
         "mfu_analytic": round(mfu_analytic, 4) if mfu_analytic else None,
         "device": kind,
         "amp": bool(use_amp),
+        "raw_long_s": [round(x, 3) for x in t_long],
+        "raw_short_s": [round(x, 3) for x in t_short],
     }))
 
 
