@@ -21,3 +21,9 @@ _cache_dir = os.path.join(os.path.dirname(os.path.dirname(
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# ...and export the same cache to SUBPROCESS children (CLI drives,
+# multi-host tests): jax reads these config options from the environment,
+# so the children's compiles land in the shared cache too.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")

@@ -195,6 +195,7 @@ def test_grouped_duration_padded_matches_exact():
     assert (np.asarray(dur_p[:, Ne:]) == 0).all()
 
 
+@pytest.mark.slow
 def test_two_item_batch_runs_and_masks(params):
     """B=2 with different lengths: both items produce finite mels and the
     shorter item's pad tokens contribute zero duration."""

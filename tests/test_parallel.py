@@ -14,6 +14,7 @@ def test_dryrun_multichip_8():
     dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device():
     """Same batch, 1-device vs 4-device data-parallel: losses must agree."""
     from __graft_entry__ import (_LOSS_WEIGHTS, _example_batch,
@@ -56,6 +57,7 @@ def test_dp_matches_single_device():
     np.testing.assert_allclose(float(gn1), float(gn4), rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_tp_matches_single_device():
     """2-way tensor parallelism over the WN hidden channels must reproduce
     the single-device loss (the psum over the sharded contraction is the
@@ -252,6 +254,7 @@ def test_loader_rank_sharding_disjoint():
     assert set(int(i) for i in np.concatenate(loader2._indices())) == seen[1]
 
 
+@pytest.mark.slow
 def test_dp_inference_matches_single_device():
     """Batched inference (radtts_infer + vocoder) sharded over the data
     axis on a 4-device mesh must reproduce single-device mels/audio —

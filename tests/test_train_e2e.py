@@ -102,6 +102,7 @@ LOSS_WEIGHTS = {"blank_logprob": -1, "ctc_loss_weight": 0.1,
                 "vpred_loss_weight": 1.0}
 
 
+@pytest.mark.slow
 def test_train_steps_and_checkpoint(tiny_dataset, tmp_path):
     root, cache = tiny_dataset
     ds = _make_data(root, cache, "train.txt")
@@ -288,6 +289,7 @@ def test_gt_attribute_audio_sample_logged(tmp_path):
     assert np.isfinite(audio).all() and audio.size > 0
 
 
+@pytest.mark.slow
 def test_amp_train_step_parity_and_convergence():
     """use_amp=True (bf16 coupling predictor stacks, reference AMP analogue
     train.py:364,416-422): first-step loss/grad-norm must track fp32 within

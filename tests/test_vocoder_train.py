@@ -41,6 +41,7 @@ MEL_KW = dict(filter_length=1024, hop_length=256, win_length=1024,
               mel_fmax=8000.0)
 
 
+@pytest.mark.slow
 def test_vocoder_train_steps_reduce_mel_loss():
     params = vocoder_train_init(jax.random.PRNGKey(0), H_SMALL)
     optim_g, optim_d = make_optimizers(lr=2e-3)
