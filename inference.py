@@ -219,9 +219,20 @@ if __name__ == "__main__":
                         help="synthesize this many lines per device "
                              "dispatch (padded/bucketed text lengths)")
     parser.add_argument("--use_amp", action="store_true")
+    parser.add_argument("--matmul_precision", default=None,
+                        choices=["default", "high", "highest"],
+                        help="TPU MXU precision: 'default' runs bf16 "
+                             "passes (fastest); 'highest' is fp32-exact "
+                             "— flagship-scale mel MAE vs the torch "
+                             "reference measured 9.1e-2 vs 1.2e-5 "
+                             "(scripts/flagship_parity.py)")
     parser.add_argument("--plot", action="store_true")
     parser.add_argument("--seed", default=1234, type=int)
     args = parser.parse_args()
+
+    if args.matmul_precision:
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
 
     with open(args.config) as f:
         config = json.load(f)

@@ -217,7 +217,15 @@ if __name__ == "__main__":
     parser.add_argument("--plot_features", action="store_true")
     parser.add_argument("--filter_invalid", action="store_true")
     parser.add_argument('-t', '--takes', default=1, type=int)
+    parser.add_argument("--matmul_precision", default=None,
+                        choices=["default", "high", "highest"],
+                        help="TPU MXU precision; 'highest' is fp32-exact "
+                             "(see inference.py / flagship_parity.py)")
     args = parser.parse_args()
+
+    if args.matmul_precision:
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
 
     os.makedirs(args.output_dir, exist_ok=True)
     infer(args.radtts_path, args.radtts_config_path, args.vocoder_path,

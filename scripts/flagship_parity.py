@@ -30,6 +30,12 @@ import jax  # noqa: E402
 
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+# MATMUL_PRECISION=highest forces fp32-accurate matmuls/convs on TPU (the
+# MXU's DEFAULT runs bf16 passes; fine for speed, it is what inference.py
+# uses, but parity against the fp32 torch oracle needs the exact path)
+if os.environ.get("MATMUL_PRECISION"):
+    jax.config.update("jax_default_matmul_precision",
+                      os.environ["MATMUL_PRECISION"])
 
 import jax.numpy as jnp  # noqa: E402
 import torch  # noqa: E402
@@ -51,11 +57,24 @@ def main():
     with open("configs/config_ljs_dap.json") as f:
         model_config = json.load(f)["model_config"]
 
-    torch.manual_seed(0)
-    print("# building flagship reference model...", file=sys.stderr)
-    ref = RefRADTTS(**copy.deepcopy(model_config)).eval()
-    converge_spectral_norms(ref)
-    params = radtts_from_torch(ref.state_dict(), model_config)
+    # FLAGSHIP_ORACLE=path caches the torch side (the ~30 min of a run) so
+    # precision/platform A/Bs on the jax side rerun in minutes
+    oracle_path = os.environ.get("FLAGSHIP_ORACLE", "")
+    oracle = None
+    if oracle_path and os.path.exists(oracle_path):
+        oracle = dict(np.load(oracle_path))
+        print(f"# loaded torch oracle from {oracle_path}", file=sys.stderr)
+
+    if oracle is None:
+        torch.manual_seed(0)
+        print("# building flagship reference model...", file=sys.stderr)
+        ref = RefRADTTS(**copy.deepcopy(model_config)).eval()
+        converge_spectral_norms(ref)
+        sd = ref.state_dict()
+    else:
+        sd = {k[len("sd/"):]: torch.from_numpy(v)
+              for k, v in oracle.items() if k.startswith("sd/")}
+    params = radtts_from_torch(sd, model_config)
     params = precompute_inverses(params)
 
     tp = TextProcessing(
@@ -97,25 +116,39 @@ def main():
             t = self.tensors.pop(0).clone()
             return torch.Tensor._make_subclass(_FixedTensor, t)
 
-    orig_ft, orig_lt = torch.cuda.FloatTensor, torch.LongTensor
+    if oracle is None:
+        orig_ft, orig_lt = torch.cuda.FloatTensor, torch.LongTensor
 
-    class _LongTensorShim:
-        def __call__(self, x):
-            if isinstance(x, list) and x and torch.is_tensor(x[0]):
-                return torch.cat([t.reshape(-1) for t in x]).long()
-            return orig_lt(x)
+        class _LongTensorShim:
+            def __call__(self, x):
+                if isinstance(x, list) and x and torch.is_tensor(x[0]):
+                    return torch.cat([t.reshape(-1) for t in x]).long()
+                return orig_lt(x)
 
-    torch.cuda.FloatTensor = _FixedNoise(
-        [z_f0 / 0.8, z_energy / 0.8, residual / 0.7])
-    torch.LongTensor = _LongTensorShim()
-    try:
-        print("# running torch reference infer...", file=sys.stderr)
-        with torch.no_grad():
-            ref_out = ref.infer(
-                torch.tensor([0]), torch.from_numpy(text_np), sigma=0.7,
-                sigma_f0=0.8, sigma_energy=0.8, dur=dur.float())
-    finally:
-        torch.cuda.FloatTensor, torch.LongTensor = orig_ft, orig_lt
+        torch.cuda.FloatTensor = _FixedNoise(
+            [z_f0 / 0.8, z_energy / 0.8, residual / 0.7])
+        torch.LongTensor = _LongTensorShim()
+        try:
+            print("# running torch reference infer...", file=sys.stderr)
+            with torch.no_grad():
+                ref_out = ref.infer(
+                    torch.tensor([0]), torch.from_numpy(text_np), sigma=0.7,
+                    sigma_f0=0.8, sigma_energy=0.8, dur=dur.float())
+        finally:
+            torch.cuda.FloatTensor, torch.LongTensor = orig_ft, orig_lt
+        ref_mel_np = ref_out["mel"].numpy()
+        ref_f0_np = ref_out["f0"].numpy()
+        if oracle_path:
+            blob = {f"sd/{k}": v.detach().cpu().numpy()
+                    for k, v in sd.items()}
+            blob["mel"] = ref_mel_np
+            blob["f0"] = ref_f0_np
+            np.savez(oracle_path, **blob)
+            print(f"# torch oracle cached to {oracle_path}",
+                  file=sys.stderr)
+    else:
+        ref_mel_np = oracle["mel"]
+        ref_f0_np = oracle["f0"]
 
     print("# running jax infer...", file=sys.stderr)
     out = radtts_infer(
@@ -126,11 +159,10 @@ def main():
         z_energy=jnp.asarray(z_energy.numpy().transpose(0, 2, 1)),
         residual=jnp.asarray(residual.numpy().transpose(0, 2, 1)))
 
-    mel_ref = ref_out["mel"].numpy()
+    mel_ref = ref_mel_np
     mel_ours = np.asarray(out["mel"]).transpose(0, 2, 1)
     mel_mae = float(np.abs(mel_ours - mel_ref).mean())
-    f0_mae = float(np.abs(np.asarray(out["f0"])
-                          - ref_out["f0"].numpy()).mean())
+    f0_mae = float(np.abs(np.asarray(out["f0"]) - ref_f0_np).mean())
     print(json.dumps({
         "mel_mae": mel_mae,
         "f0_mae": f0_mae,
@@ -138,6 +170,7 @@ def main():
         "n_tokens": int(N),
         "platform": jax.devices()[0].platform,
         "device": jax.devices()[0].device_kind,
+        "matmul_precision": os.environ.get("MATMUL_PRECISION", "default"),
         "pass": mel_mae < 1e-3,
     }))
 
