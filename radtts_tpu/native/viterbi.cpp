@@ -27,22 +27,25 @@ void viterbi_log(const double* log_obs, const double* log_trans,
     for (int64_t j = 0; j < S; ++j)
         delta[j] = log_p_init[j] + log_obs[j];
 
+    double* __restrict bestp = best.data();
+    int32_t* __restrict argp = arg.data();
     for (int64_t t = 1; t < T; ++t) {
         // best[j] = max_k delta[k] + log_trans[k, j]; first max wins
         const double* row0 = log_trans;
         for (int64_t j = 0; j < S; ++j) {
-            best[j] = delta[0] + row0[j];
-            arg[j] = 0;
+            bestp[j] = delta[0] + row0[j];
+            argp[j] = 0;
         }
         for (int64_t k = 1; k < S; ++k) {
             const double dk = delta[k];
-            const double* row = log_trans + k * S;
+            const double* __restrict row = log_trans + k * S;
+            // branchless select so the compiler vectorizes (AVX cmp+blend);
+            // strict > keeps the first (lowest) k, like numpy argmax
             for (int64_t j = 0; j < S; ++j) {
                 const double s = dk + row[j];
-                if (s > best[j]) {  // strict: keeps the first (lowest) k
-                    best[j] = s;
-                    arg[j] = (int32_t)k;
-                }
+                const bool m = s > bestp[j];
+                bestp[j] = m ? s : bestp[j];
+                argp[j] = m ? (int32_t)k : argp[j];
             }
         }
         const double* obs = log_obs + t * S;

@@ -38,3 +38,46 @@ def test_beta_binomial_prior_matches_reference():
     ref = ref_prior(17, 53, 1.0).numpy()
     assert ours.shape == ref.shape == (53, 17)
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_trough_probs_match_scalar_loop():
+    """The vectorized per-(frame,trough) probability pass must reproduce the
+    librosa-style per-frame scipy loop (the pre-round-3 implementation) to
+    float64 rounding."""
+    import scipy.stats
+
+    from radtts_tpu.data.pyin import _localmin, _trough_probs
+
+    thresholds = np.linspace(0, 1, 101)
+    beta_probs = np.diff(scipy.stats.beta.cdf(thresholds, 2, 18))
+    bparam, ntp = 2, 0.01
+
+    def scalar_loop(yin, trough_mask):
+        yin_probs = np.zeros_like(yin)
+        for i in range(yin.shape[0]):
+            ti = np.flatnonzero(trough_mask[i])
+            if ti.size == 0:
+                continue
+            th = yin[i, ti]
+            tt = th[:, None] < thresholds[None, 1:]
+            pos = np.cumsum(tt, axis=0) - 1
+            n = np.count_nonzero(tt, axis=0)
+            prior = scipy.stats.boltzmann.pmf(pos, bparam, n)
+            prior[~tt] = 0
+            probs = prior.dot(beta_probs)
+            gm = int(np.argmin(th))
+            probs[gm] += ntp * np.sum(
+                beta_probs[:np.count_nonzero(~tt[gm])])
+            yin_probs[i, ti] = probs
+        return yin_probs
+
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        yin = np.abs(rng.standard_normal((37, 53))) * rng.uniform(0.1, 2)
+        # include a frame with no troughs at all (monotone row)
+        yin[5] = np.arange(53, 0, -1, dtype=np.float64)
+        tm = _localmin(yin)
+        assert not tm[5].any()
+        got = _trough_probs(yin, tm, thresholds, beta_probs, bparam, ntp)
+        want = scalar_loop(yin, tm)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-15)
