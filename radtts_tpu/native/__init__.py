@@ -55,15 +55,52 @@ def _load():
                 ctypes.POINTER(ctypes.c_int32),
             ]
             lib.viterbi_log.restype = None
+            lib.viterbi_log_banded.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_double,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.viterbi_log_banded.restype = None
             _lib = lib
         except Exception:
             _build_failed = True
     return _lib
 
 
+def banded_structure(log_trans):
+    """Detect pYIN's two-block banded transition structure by EQUALITY:
+    kron([[1-p, p], [p, 1-p]], L) with L a half-width-`half` band, all
+    out-of-band entries bitwise-equal to log(eps) (`voob`). Returns
+    (N, half, voob) or None. The banded kernel is exact only under this
+    structure, so anything else gets the dense kernel."""
+    S = log_trans.shape[0]
+    if S % 2 or S < 8:
+        return None
+    N = S // 2
+    voob = log_trans.min()
+    nonbg = log_trans != voob
+    col0 = np.flatnonzero(nonbg[:N, 0])
+    if col0.size in (0, N):  # fully dense or empty first column
+        return None
+    half = int(col0.max())
+    c = np.arange(N)
+    band = np.abs(c[:, None] - c[None, :]) <= half
+    if not (np.array_equal(nonbg[:N, :N], band)
+            and np.array_equal(nonbg[:N, N:], band)
+            and np.array_equal(nonbg[N:, :N], band)
+            and np.array_equal(nonbg[N:, N:], band)):
+        return None
+    return N, half, float(voob)
+
+
 def viterbi_log_native(log_obs, log_trans, log_p_init):
     """C++ Viterbi; returns the state path (T,) int32, or None when the
-    native library is unavailable."""
+    native library is unavailable. Dispatches to the banded kernel when
+    the transition matrix has pYIN's band structure (~3x at S=722)."""
     lib = _load()
     if lib is None:
         return None
@@ -75,6 +112,15 @@ def viterbi_log_native(log_obs, log_trans, log_p_init):
     psi = np.empty((T, S), dtype=np.int32)
     dptr = ctypes.POINTER(ctypes.c_double)
     iptr = ctypes.POINTER(ctypes.c_int32)
+    banded = banded_structure(log_trans)
+    if banded is not None:
+        N, half, voob = banded
+        lib.viterbi_log_banded(
+            log_obs.ctypes.data_as(dptr), log_trans.ctypes.data_as(dptr),
+            log_p_init.ctypes.data_as(dptr), ctypes.c_int64(T),
+            ctypes.c_int64(N), ctypes.c_int64(half), ctypes.c_double(voob),
+            states.ctypes.data_as(iptr), psi.ctypes.data_as(iptr))
+        return states
     lib.viterbi_log(
         log_obs.ctypes.data_as(dptr), log_trans.ctypes.data_as(dptr),
         log_p_init.ctypes.data_as(dptr), ctypes.c_int64(T),
