@@ -280,6 +280,14 @@ def run_bench(state, deadline):
     state["best"] = _result(rtf_fb, "staged_fallback")
     _log(f"fallback recorded: {state['best']}")
 
+    def persist():
+        try:
+            with open(_LAST, "w") as f:
+                json.dump(dict(state["best"], measured_at=time.strftime(
+                    "%Y-%m-%dT%H:%M:%S")), f)
+        except Exception:
+            pass
+
     # Difference method, stages interleaved within each round (the shared
     # chip's throttling drifts minute-to-minute).
     t_long = {n: [] for n, _, _ in stages}
@@ -301,13 +309,40 @@ def run_bench(state, deadline):
         if ok:
             rtf = sum(per_iter.values()) / audio_seconds
             state["best"] = _result(rtf, "staged_scan_diff", per_iter)
+    _log(f"staged (unroll=1): {state['best']}")
+    persist()
+
+    # Optional refinement: the decode stage retraced at scan unroll=8
+    # (measured ~25% faster steady-state; the FULL pipeline at unroll=8
+    # exceeds the remote compile service's request ceiling, a single stage
+    # may not). Only attempted when the unroll=1 result is already recorded
+    # and budget remains — a hung compile just means the watchdog emits the
+    # result above. Cache-covered on reruns.
+    if per_iter and time.monotonic() < deadline - 180:
+        try:
+            from radtts_tpu.ops.lstm import unroll_scope
+            with unroll_scope(8):
+                run8 = scan_program(s_decode)
+                _log("compiling decode at unroll=8")
+                timecall(run8, one, (params, dur0))
+            _log("decode unroll=8 compiled; timing")
+            l8, s8 = [], []
+            for _ in range(4):
+                if time.monotonic() > deadline - 20:
+                    break
+                l8.append(timecall(run8, ten, (params, dur0)))
+                s8.append(timecall(run8, one, (params, dur0)))
+            diff8 = min(l8) - min(s8) if l8 and s8 else -1.0
+            if 0 < diff8 / (N_ITERS - 1) < per_iter["decode"]:
+                per_iter8 = dict(per_iter, decode=diff8 / (N_ITERS - 1))
+                rtf = sum(per_iter8.values()) / audio_seconds
+                state["best"] = _result(rtf, "staged_scan_diff_u8",
+                                        per_iter8)
+                persist()
+        except Exception as exc:
+            _log(f"unroll=8 refinement skipped: {exc!r}")
+
     _log(f"final: {state['best']}")
-    try:
-        with open(_LAST, "w") as f:
-            json.dump(dict(state["best"], measured_at=time.strftime(
-                "%Y-%m-%dT%H:%M:%S")), f)
-    except Exception:
-        pass
     state["done"] = True
 
 

@@ -11,6 +11,13 @@ import os
 import numpy as np
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # some TPU plugins ignore the env var; enforce it via config
+    # (without this, JAX_PLATFORMS=cpu still initializes the TPU backend —
+    # which HANGS rather than errors when the device tunnel is down)
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 
 from radtts_tpu.config import update_params

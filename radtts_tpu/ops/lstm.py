@@ -34,6 +34,29 @@ import os as _os
 
 SCAN_UNROLL = int(_os.environ.get("RADTTS_SCAN_UNROLL", "8"))
 
+# Trace-time override: `with unroll_scope(8): jax.jit(f)(...)` traces the
+# recurrence scans at a specific unroll factor regardless of the env
+# default. bench.py uses it to compile its reliable unroll=1 stage
+# programs first and then OPTIONALLY refine the decode stage at unroll=8
+# when budget remains (the full pipeline at unroll=8 exceeds the remote
+# compile service's request ceiling; a single stage may not).
+from contextlib import contextmanager as _contextmanager
+
+_UNROLL_OVERRIDE = []
+
+
+@_contextmanager
+def unroll_scope(n):
+    _UNROLL_OVERRIDE.append(int(n))
+    try:
+        yield
+    finally:
+        _UNROLL_OVERRIDE.pop()
+
+
+def _unroll():
+    return _UNROLL_OVERRIDE[-1] if _UNROLL_OVERRIDE else SCAN_UNROLL
+
 
 def _uniform(key, shape, bound):
     return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
@@ -151,7 +174,7 @@ def lstm_apply(params, x, lengths=None, h0=None, c0=None):
         return (h, c), out
 
     (h_fin, c_fin), ys = lax.scan(step, (h_init, c_init), (gxs, valid),
-                                  unroll=SCAN_UNROLL)
+                                  unroll=_unroll())
     return jnp.swapaxes(ys, 0, 1), (h_fin, c_fin)
 
 
@@ -214,7 +237,7 @@ def bilstm_apply_multi(params_seq, xs, lengths=None):
 
     init = (jnp.zeros((D, B, H), dtype), jnp.zeros((D, B, H), dtype))
     _, ys = lax.scan(step, init, (gxs, valid),
-                     unroll=SCAN_UNROLL)                 # ys: (T, D, B, H)
+                     unroll=_unroll())                 # ys: (T, D, B, H)
 
     outs = []
     for m in range(len(params_seq)):

@@ -12,6 +12,14 @@ import argparse
 import json
 import os
 
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # some TPU plugins ignore the env var; enforce it via config
+    # (without this, JAX_PLATFORMS=cpu still initializes the TPU backend —
+    # which HANGS rather than errors when the device tunnel is down)
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from radtts_tpu.config import update_params
 from radtts_tpu.train.trainer import train
 
