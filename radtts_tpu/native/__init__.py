@@ -26,14 +26,18 @@ _build_failed = False
 
 def _compile():
     # -march=native vectorizes the select-form inner loop (AVX-512 on this
-    # host: ~4x); fall back to plain -O3 on toolchains without the flag
-    base = ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB + ".tmp", _SRC]
+    # host: ~4x); fall back to plain -O3 on toolchains without the flag.
+    # The tmp name is pid-unique: DataLoader/data.py worker PROCESSES all
+    # build on first use, and concurrent writers to one tmp file would
+    # corrupt it (os.replace itself is atomic).
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
+    base = ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC]
     try:
         subprocess.run(base[:2] + ["-march=native", "-funroll-loops"]
                        + base[2:], check=True, capture_output=True)
     except subprocess.CalledProcessError:
         subprocess.run(base, check=True, capture_output=True)
-    os.replace(_LIB + ".tmp", _LIB)
+    os.replace(tmp, _LIB)
 
 
 def _load():
