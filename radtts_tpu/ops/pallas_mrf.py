@@ -42,7 +42,12 @@ def _conv_valid(buf, w, b, k, d):
     """buf: (P, C) value. Same-size output y[t] = conv(buf)[t]; rows within
     reach of the buffer edge wrap (garbage) but stay inside the halo
     margin. Window build = rolls concatenated on lanes, chunked so each
-    (P, taps*C) slab stays ~2.5 MB of VMEM; one MXU dot per slab."""
+    (P, taps*C) slab stays ~2.5 MB of VMEM; one MXU dot per slab.
+
+    bf16 weight storage is supported (the wide-stage variant): the window
+    is cast to the weight dtype for the dot — on TPU this matches DEFAULT
+    matmul precision, which rounds fp32 operands to bf16 on the MXU anyway
+    — and accumulation stays fp32."""
     half = (k - 1) // 2
     P, C = buf.shape
     taps = max(1, int(2.5e6 / (P * C * 4)))
@@ -53,14 +58,14 @@ def _conv_valid(buf, w, b, k, d):
         cols = [pltpu.roll(buf, (-(j - half) * d) % P, axis=0) for j in jj]
         win = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
         part = jax.lax.dot_general(
-            win, w[j0 * C:(j0 + len(cols)) * C],
+            win.astype(w.dtype), w[j0 * C:(j0 + len(cols)) * C],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         y = part if y is None else y + part
     return y + b                                      # b: (1, C)
 
 
-def _make_kernel(n_rb, tile, n_tiles, T, P):
+def _make_kernel(kernel_sizes, n_out_rb, tile, n_tiles, T, P, halo):
     def kernel(x_ref, *refs):
         o_ref = refs[-1]
         x = x_ref[0]                                   # (P, C) fp32
@@ -69,12 +74,11 @@ def _make_kernel(n_rb, tile, n_tiles, T, P):
         # zero-pads each conv input at the sequence ends; a fused chain
         # would otherwise propagate nonzero out-of-range values back in).
         i_tile = pl.program_id(0) % n_tiles
-        tglob = (i_tile * tile - HALO
+        tglob = (i_tile * tile - halo
                  + jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0))
         inside = jnp.logical_and(tglob >= 0, tglob < T)
         acc = None
-        for m in range(n_rb):
-            k = KERNEL_SIZES[m]
+        for m, k in enumerate(kernel_sizes):
             w1, b1, w2, b2 = refs[4 * m: 4 * m + 4]
             xr = x
             for i, d in enumerate(DILATIONS):
@@ -84,28 +88,40 @@ def _make_kernel(n_rb, tile, n_tiles, T, P):
                 xt = jnp.where(inside, xt, 0.0)
                 xr = xr + xt
             acc = xr if acc is None else acc + xr
-        o_ref[0] = acc[HALO:HALO + tile] * (1.0 / n_rb)
+        o_ref[0] = acc[halo:halo + tile] * (1.0 / n_out_rb)
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def pallas_mrf(x, weights, tile=1024, interpret=False):
-    """x: (B, T, C) fp32. weights: list over kernel sizes (3, 7, 11) of
-    dicts {w1: (3, k, C, C), b1: (3, C), w2: (3, k, C, C), b2: (3, C)},
+@functools.partial(jax.jit, static_argnames=(
+    "tile", "interpret", "kernel_sizes", "n_out_rb", "weight_dtype"))
+def pallas_mrf(x, weights, tile=1024, interpret=False,
+               kernel_sizes=KERNEL_SIZES, n_out_rb=None,
+               weight_dtype=jnp.float32):
+    """x: (B, T, C) fp32. weights: list over `kernel_sizes` of dicts
+    {w1: (3, k, C, C), b1: (3, C), w2: (3, k, C, C), b2: (3, C)},
     w*[i] being the dilation-(1,3,5)[i] conv taps (taps-major, i.e. torch
     weight (C_out, C_in, k) transposed to (k, C_in, C_out)). Returns the
-    MRF mean (B, T, C). T is padded to a tile multiple internally."""
+    MRF mean (B, T, C). T is padded to a tile multiple internally.
+
+    Wide stages (C=256) don't fit all three resblocks' fp32 weights in
+    VMEM (33 MB): call once per resblock (kernel_sizes=(k,)) with
+    n_out_rb=3 and weight_dtype=bf16 and SUM the outputs — the division by
+    the true resblock count happens in-kernel. The halo shrinks to the
+    requested chains' reach, 6*(max_k - 1)."""
     B, T, C = x.shape
     n_rb = len(weights)
+    if n_out_rb is None:
+        n_out_rb = n_rb
+    halo = 6 * (max(kernel_sizes) - 1)
     Tp = -(-T // tile) * tile
     xp = jnp.pad(x.astype(jnp.float32),
-                 ((0, 0), (HALO, HALO + Tp - T), (0, 0)))
-    P = tile + 2 * HALO
+                 ((0, 0), (halo, halo + Tp - T), (0, 0)))
+    P = tile + 2 * halo
 
     flat = []
     for wd in weights:
-        w1 = wd["w1"].astype(jnp.float32)
-        w2 = wd["w2"].astype(jnp.float32)
+        w1 = wd["w1"].astype(weight_dtype)
+        w2 = wd["w2"].astype(weight_dtype)
         # biases shaped (3, 1, C): b[i] reads as a 2D (1, C) VMEM row
         flat += [w1.reshape(3, -1, C),
                  wd["b1"].astype(jnp.float32).reshape(3, 1, C),
@@ -120,7 +136,7 @@ def pallas_mrf(x, weights, tile=1024, interpret=False):
     xv = jnp.stack(views, axis=1).reshape(B * n_tiles, P, C)
 
     out = pl.pallas_call(
-        _make_kernel(n_rb, tile, n_tiles, T, P),
+        _make_kernel(kernel_sizes, n_out_rb, tile, n_tiles, T, P, halo),
         out_shape=jax.ShapeDtypeStruct((B * n_tiles, tile, C), jnp.float32),
         grid=(B * n_tiles,),
         in_specs=[pl.BlockSpec((1, P, C), lambda g: (g, 0, 0),
@@ -132,6 +148,22 @@ def pallas_mrf(x, weights, tile=1024, interpret=False):
 
     out = out.reshape(B, n_tiles * tile, C)
     return out[:, :T]
+
+
+def pallas_mrf_wide(x, weights, tile=512, interpret=False):
+    """Wide-stage (C=256) MRF: one pallas_mrf invocation per resblock with
+    bf16 weight storage (~8.7 MB for the k=11 block vs 33 MB for all three
+    in fp32), outputs summed. bf16 storage matches what DEFAULT matmul
+    precision already does to fp32 operands on the MXU; accumulation is
+    fp32. Returns the MRF mean (B, T, C)."""
+    n_rb = len(weights)
+    out = None
+    for m, wd in enumerate(weights):
+        part = pallas_mrf(x, (wd,), tile=tile, interpret=interpret,
+                          kernel_sizes=(KERNEL_SIZES[m],), n_out_rb=n_rb,
+                          weight_dtype=jnp.bfloat16)
+        out = part if out is None else out + part
+    return out
 
 
 def mrf_weights_from_params(resblock_group):

@@ -69,3 +69,41 @@ def test_generator_pallas_impl_matches_xla(voc):
         pm.pallas_mrf = orig
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_xla),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_mrf_wide_decomposition_exact(voc):
+    """Per-resblock decomposition (the wide-stage C=256 strategy) with fp32
+    weights must equal the fused three-resblock kernel exactly: same conv
+    math, outputs summed outside, in-kernel division by the true count."""
+    from radtts_tpu.ops.pallas_mrf import KERNEL_SIZES
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 500, 64)).astype(np.float32))
+    w = mrf_weights_from_params(voc["resblocks"][2])
+    fused = pallas_mrf(x, w, tile=256, interpret=True)
+    parts = [pallas_mrf(x, (wd,), tile=256, interpret=True,
+                        kernel_sizes=(KERNEL_SIZES[m],), n_out_rb=3)
+             for m, wd in enumerate(w)]
+    np.testing.assert_allclose(np.asarray(sum(parts)), np.asarray(fused),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_mrf_wide_bf16_close_on_c256(voc):
+    """pallas_mrf_wide at the C=256 stage (bf16 weight storage): must match
+    the XLA fp32 reference to bf16-rounding tolerance — a halo or indexing
+    bug would blow far past it."""
+    from radtts_tpu.ops.pallas_mrf import pallas_mrf_wide
+
+    stage, T, C = 0, 300, 256
+    rng = np.random.default_rng(stage)
+    x = jnp.asarray(rng.standard_normal((1, T, C)).astype(np.float32))
+    xs = jnp.zeros_like(x)
+    for j, block in enumerate(voc["resblocks"][stage]):
+        xs = xs + _resblock1_apply(block, x, RK[j], RD[j])
+    ref = np.asarray(xs / 3)
+    out = np.asarray(pallas_mrf_wide(
+        x, mrf_weights_from_params(voc["resblocks"][stage]),
+        tile=128, interpret=True))
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() < 0.02 * scale, (
+        np.abs(out - ref).max(), scale)
