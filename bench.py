@@ -106,14 +106,25 @@ _LAST = os.path.join(_REPO, ".bench_last.json")
 
 def _backend_reachable(timeout_s=120.0):
     """Initializing the tunneled backend HANGS (not errors) when the
-    tunnel is down; probe on a daemon thread."""
+    tunnel is down — probe on a daemon thread; it can also error fast
+    (UNAVAILABLE when the tunnel actively refuses) — catch and return."""
     import threading
     out = []
-    t = threading.Thread(target=lambda: out.append(len(jax.devices())),
-                         daemon=True)
+
+    def probe():
+        try:
+            out.append(len(jax.devices()) > 0)
+        except Exception as exc:
+            _log(f"backend probe failed: {exc}")
+            out.append(False)
+
+    t = threading.Thread(target=probe, daemon=True)
     t.start()
-    t.join(timeout_s)
-    return bool(out)
+    waited = 0.0
+    while waited < timeout_s and not out:
+        t.join(0.5)
+        waited += 0.5
+    return bool(out) and out[0]
 
 
 def run_bench(state, deadline):
