@@ -18,6 +18,10 @@ if os.environ.get("JAX_PLATFORMS"):
     # which HANGS rather than errors when the device tunnel is down)
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+from radtts_tpu.compile_cache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
 import jax.numpy as jnp
 
 from radtts_tpu.config import update_params
