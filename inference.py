@@ -52,7 +52,8 @@ def infer(radtts_path, vocoder_path, vocoder_config_path, text_path,
           speaker, speaker_text, speaker_attributes, sigma, sigma_tkndur,
           sigma_f0, sigma_energy, f0_mean, f0_std, energy_mean, energy_std,
           token_dur_scaling, denoising_strength, n_takes, output_dir,
-          use_amp, plot, seed, config, batch_size=1):
+          use_amp, plot, seed, config, batch_size=1, long_text_chunk=0,
+          chunk_gap_ms=120.0):
     model_config = config["model_config"]
     data_config = config["data_config"]
 
@@ -127,15 +128,37 @@ def infer(radtts_path, vocoder_path, vocoder_config_path, text_path,
     # bucketed token length (beyond the reference's one-line loop; the
     # masked encoder path makes padded == exact-length results, and pad
     # tokens get duration 0)
-    items = [(i, t) for i, t in enumerate(text_list)
-             if not t.startswith("#")]
+    #
+    # --long_text_chunk N: lines longer than N encoded tokens are split at
+    # sentence boundaries (radtts_tpu/text/chunking.py) into parts that
+    # ride the same batched path; their waveforms are rejoined with
+    # --chunk_gap_ms of silence and normalized jointly. Bounds the compile
+    # buckets and device memory for paragraph-length input (the reference
+    # grows its tensors without bound, inference.py:115-156).
+    items = []   # (line_idx, part_idx, n_parts, text)
+    for i, t in enumerate(text_list):
+        if t.startswith("#"):
+            continue
+        parts = [t]
+        if long_text_chunk and long_text_chunk > 0:
+            from radtts_tpu.text.chunking import split_text_to_chunks
+            parts = split_text_to_chunks(
+                t, lambda s: len(trainset.get_text(s)), long_text_chunk)
+            if len(parts) > 1:
+                print(f"{i}: split into {len(parts)} chunks "
+                      f"(<= {long_text_chunk} tokens each)")
+        items.extend((i, p, len(parts), text)
+                     for p, text in enumerate(parts))
     hop = data_config["hop_length"]
+    gap = np.zeros(int(sr * chunk_gap_ms / 1000.0), np.float32)
+    pending = {}  # (line_idx, take) -> [part wavs]
     for b0 in range(0, len(items), max(1, batch_size)):
         chunk = items[b0:b0 + max(1, batch_size)]
         B = len(chunk)
         encs = []
-        for i, text in chunk:
-            print(f"{i}/{len(text_list)}: {text}")
+        for i, p, n_parts, text in chunk:
+            tag = f" [part {p + 1}/{n_parts}]" if n_parts > 1 else ""
+            print(f"{i}/{len(text_list)}{tag}: {text}")
             encs.append(np.asarray(trainset.get_text(text)))
         lens = np.array([len(e) for e in encs], np.int32)
         if B == 1:
@@ -168,13 +191,24 @@ def infer(radtts_path, vocoder_path, vocoder_config_path, text_path,
             audio = np.asarray(audio)
 
             from scipy.io.wavfile import write
-            for j, (i, _) in enumerate(chunk):
+            for j, (i, p, n_parts, _) in enumerate(chunk):
                 wav = audio[j, : int(totals[j]) * hop]
-                wav = wav / np.max(np.abs(wav))
                 suffix_path = ("{}_{}_{}_durscaling{}_sigma{}_sigmatext{}_"
                                "sigmaf0{}_sigmaenergy{}").format(
                     i, take, speaker, token_dur_scaling, sigma,
                     sigma_tkndur, sigma_f0, sigma_energy)
+                if n_parts > 1:
+                    # collect chunked-line parts; join + normalize once
+                    parts = pending.setdefault((i, take), [None] * n_parts)
+                    parts[p] = wav
+                    if any(w is None for w in parts):
+                        continue
+                    joined = [parts[0]]
+                    for w in parts[1:]:
+                        joined += [gap, w]
+                    wav = np.concatenate(joined)
+                    del pending[(i, take)]
+                wav = wav / np.max(np.abs(wav))
                 write("{}/{}_denoised_{}.wav".format(
                     output_dir, suffix_path, denoising_strength), sr,
                     wav.astype(np.float32))
@@ -222,6 +256,13 @@ if __name__ == "__main__":
     parser.add_argument("--batch_size", default=1, type=int,
                         help="synthesize this many lines per device "
                              "dispatch (padded/bucketed text lengths)")
+    parser.add_argument("--long_text_chunk", default=0, type=int,
+                        help="split lines longer than this many encoded "
+                             "tokens at sentence boundaries, synthesize "
+                             "the chunks (batched), and rejoin the audio; "
+                             "0 disables")
+    parser.add_argument("--chunk_gap_ms", default=120.0, type=float,
+                        help="silence inserted between rejoined chunks")
     parser.add_argument("--use_amp", action="store_true")
     parser.add_argument("--matmul_precision", default=None,
                         choices=["default", "high", "highest"],
@@ -249,4 +290,5 @@ if __name__ == "__main__":
           args.energy_mean, args.energy_std, args.token_dur_scaling,
           args.denoising_strength, args.n_takes, args.output_dir,
           args.use_amp, args.plot, args.seed, config,
-          batch_size=args.batch_size)
+          batch_size=args.batch_size, long_text_chunk=args.long_text_chunk,
+          chunk_gap_ms=args.chunk_gap_ms)

@@ -102,3 +102,30 @@ def test_encode_parity(processors, idx):
     assert our_clean == ref_clean
     assert our_phon == ref_phon
     assert our_ids == ref_ids
+
+
+def test_long_text_chunking():
+    """Sentence-boundary chunking for --long_text_chunk: every chunk fits
+    the token budget, text is preserved (modulo inter-sentence spaces),
+    and short inputs pass through untouched."""
+    from radtts_tpu.text.chunking import split_sentences, split_text_to_chunks
+
+    encode_len = len  # character-count proxy keeps the test hermetic
+
+    assert split_sentences("One. Two! Three?") == ["One.", "Two!", "Three?"]
+    assert split_text_to_chunks("short line.", encode_len, 100) == [
+        "short line."]
+
+    text = ("The first sentence is here. The second one follows! "
+            "A third, with a question? And a fourth to finish; "
+            "plus a trailing clause without punctuation")
+    chunks = split_text_to_chunks(text, encode_len, 60)
+    assert len(chunks) > 1
+    assert all(encode_len(c) <= 60 for c in chunks)
+    assert " ".join(chunks) == text
+
+    # single sentence over budget falls back to word packing
+    long_sentence = " ".join(["word"] * 40) + "."
+    chunks = split_text_to_chunks(long_sentence, encode_len, 50)
+    assert all(encode_len(c) <= 50 for c in chunks)
+    assert " ".join(chunks) == long_sentence
