@@ -5,11 +5,11 @@ reference torch checkpoints or native .npz checkpoints).
 
 Pipeline: text -> durations (stage 1 jit) -> attributes + inverse flow
 decode at a bucketed static frame budget (stage 2 jit) -> HiFi-GAN ->
-denoiser -> wav.
+denoiser -> wav. The warm-model engine lives in
+radtts_tpu/synthesizer.py (shared with serve.py, the HTTP daemon).
 """
 
 import argparse
-import functools
 import json
 import os
 
@@ -25,27 +25,12 @@ from radtts_tpu.compile_cache import enable_persistent_compilation_cache
 
 enable_persistent_compilation_cache()
 
-import jax.numpy as jnp
-
 from radtts_tpu.config import update_params
-from radtts_tpu.data.dataset import Data
-from radtts_tpu.models.hifigan import (denoiser_apply,
-                                       hifigan_generator_apply)
-from radtts_tpu.models.radtts import (infer_durations, radtts_infer,
-                                      radtts_init)
-from radtts_tpu.ops.invertible import precompute_inverses
-from radtts_tpu.train.checkpoint import load_any_radtts_checkpoint
-from radtts_tpu.vocoder_io import load_vocoder
 
 
 def lines_to_list(filename):
     with open(filename, encoding="utf-8") as f:
         return [line.rstrip() for line in f]
-
-
-def frame_budget(n_frames, group_size, multiple=16):
-    m = multiple * group_size
-    return ((int(n_frames) + m - 1) // m) * m
 
 
 def infer(radtts_path, vocoder_path, vocoder_config_path, text_path,
@@ -54,75 +39,22 @@ def infer(radtts_path, vocoder_path, vocoder_config_path, text_path,
           token_dur_scaling, denoising_strength, n_takes, output_dir,
           use_amp, plot, seed, config, batch_size=1, long_text_chunk=0,
           chunk_gap_ms=120.0):
-    model_config = config["model_config"]
-    data_config = config["data_config"]
+    from radtts_tpu.synthesizer import Synthesizer
 
-    vocoder, denoiser = load_vocoder(vocoder_path, vocoder_config_path)
-
-    params = radtts_init(jax.random.PRNGKey(0), model_config)
-    params, _ = load_any_radtts_checkpoint(radtts_path, model_config, params)
-    params = precompute_inverses(params)
+    # --use_amp: the model stages trace under the bf16 scope (coupling
+    # predictor stacks in bfloat16, fp32 islands stay fp32 — the TPU
+    # analogue of the reference's `with amp.autocast(use_amp)` around
+    # radtts.infer, reference inference.py:121).
+    synth = Synthesizer(
+        config, radtts_path, vocoder_path, vocoder_config_path,
+        use_amp=use_amp, seed=seed, token_dur_scaling=token_dur_scaling,
+        f0_mean=f0_mean, f0_std=f0_std, energy_mean=energy_mean,
+        energy_std=energy_std)
     print(f"Loaded checkpoint '{radtts_path}'")
-
-    ignore_keys = ["training_files", "validation_files"]
-    trainset = Data(data_config["training_files"],
-                    **{k: v for k, v in data_config.items()
-                       if k not in ignore_keys})
-
-    speaker_id = np.array([trainset.get_speaker_id(speaker)])
-    speaker_id_text = speaker_id
-    speaker_id_attributes = speaker_id
-    if speaker_text is not None:
-        speaker_id_text = np.array([trainset.get_speaker_id(speaker_text)])
-    if speaker_attributes is not None:
-        speaker_id_attributes = np.array(
-            [trainset.get_speaker_id(speaker_attributes)])
+    sr = synth.sampling_rate
 
     text_list = lines_to_list(text_path)
     os.makedirs(output_dir, exist_ok=True)
-    rng = jax.random.PRNGKey(seed)
-    g = model_config["n_group_size"]
-    sr = data_config["sampling_rate"]
-
-    # --use_amp: trace the model stages under the bf16 scope (the coupling
-    # predictor stacks run bfloat16, fp32 islands stay fp32 — the TPU
-    # analogue of the reference's `with amp.autocast(use_amp)` around
-    # radtts.infer, reference inference.py:121). The flag is captured at
-    # trace time (ops/amp.py), so it wraps the jitted bodies.
-    from radtts_tpu.ops import amp as _amp
-
-    # jitted stages, specialized per (text length, frame budget) bucket
-    def _dur_fn(params, rng, spk_text, text_ids, in_lens=None):
-        with _amp.scope(use_amp):
-            return infer_durations(
-                params, rng, spk_text, text_ids, sigma_dur=sigma_tkndur,
-                token_dur_scaling=token_dur_scaling, token_duration_max=100,
-                in_lens=in_lens)
-
-    dur_fn = jax.jit(_dur_fn)
-
-    @functools.lru_cache(maxsize=32)
-    def decode_fn(max_frames):
-        def fn(params, vocoder, denoiser, rng, spk, spk_attr, text_ids,
-               dur, in_lens):
-            with _amp.scope(use_amp):
-                out = radtts_infer(
-                    params, rng, spk, text_ids, sigma, max_frames, dur=dur,
-                    sigma_f0=sigma_f0, sigma_energy=sigma_energy,
-                    speaker_id_attributes=spk_attr, f0_mean=f0_mean,
-                    f0_std=f0_std, energy_mean=energy_mean,
-                    energy_std=energy_std, in_lens=in_lens)
-            # replicate the last valid frame into the static padding so the
-            # vocoder's receptive field sees no garbage at the boundary
-            total = jnp.sum(dur, axis=1)
-            t = jnp.arange(max_frames)
-            idx = jnp.minimum(t[None, :], total[:, None] - 1)
-            mel = jnp.take_along_axis(out["mel"], idx[:, :, None], axis=1)
-            audio = hifigan_generator_apply(vocoder, mel)
-            audio = denoiser_apply(denoiser, audio,
-                                   strength=denoising_strength)
-            return out, audio
-        return jax.jit(fn)
 
     # --batch_size > 1: synthesize several lines per dispatch, padded to a
     # bucketed token length (beyond the reference's one-line loop; the
@@ -143,56 +75,32 @@ def infer(radtts_path, vocoder_path, vocoder_config_path, text_path,
         if long_text_chunk and long_text_chunk > 0:
             from radtts_tpu.text.chunking import split_text_to_chunks
             parts = split_text_to_chunks(
-                t, lambda s: len(trainset.get_text(s)), long_text_chunk)
+                t, lambda s: len(synth.encode(s)), long_text_chunk)
             if len(parts) > 1:
                 print(f"{i}: split into {len(parts)} chunks "
                       f"(<= {long_text_chunk} tokens each)")
         items.extend((i, p, len(parts), text)
                      for p, text in enumerate(parts))
-    hop = data_config["hop_length"]
     gap = np.zeros(int(sr * chunk_gap_ms / 1000.0), np.float32)
     pending = {}  # (line_idx, take) -> [part wavs]
     for b0 in range(0, len(items), max(1, batch_size)):
         chunk = items[b0:b0 + max(1, batch_size)]
-        B = len(chunk)
-        encs = []
         for i, p, n_parts, text in chunk:
             tag = f" [part {p + 1}/{n_parts}]" if n_parts > 1 else ""
             print(f"{i}/{len(text_list)}{tag}: {text}")
-            encs.append(np.asarray(trainset.get_text(text)))
-        lens = np.array([len(e) for e in encs], np.int32)
-        if B == 1:
-            N, lens_arg = int(lens[0]), None
-        else:
-            N = ((int(lens.max()) + 15) // 16) * 16  # bucket: fewer jits
-            lens_arg = jnp.asarray(lens)
-        text_b = np.zeros((B, N), np.int64)
-        for j, e in enumerate(encs):
-            text_b[j, : len(e)] = e
-        text_b = jnp.asarray(text_b)
-        spk = jnp.broadcast_to(jnp.asarray(speaker_id), (B,))
-        spk_text = jnp.broadcast_to(jnp.asarray(speaker_id_text), (B,))
-        spk_attr = jnp.broadcast_to(jnp.asarray(speaker_id_attributes),
-                                    (B,))
 
         for take in range(n_takes):
-            rng, r_dur, r_dec = jax.random.split(rng, 3)
-            dur = dur_fn(params, r_dur, spk_text, text_b, in_lens=lens_arg)
-            totals = np.asarray(jnp.sum(dur, axis=1))
-            if (totals < 1).any():  # untrained/degenerate duration guard
-                valid = (np.arange(N)[None, :] < lens[:, None])
-                bump = (totals < 1)[:, None] & valid
-                dur = dur + jnp.asarray(bump.astype(np.int32))
-                totals = np.asarray(jnp.sum(dur, axis=1))
-            max_frames = frame_budget(totals.max(), g)
-            outputs, audio = decode_fn(max_frames)(
-                params, vocoder, denoiser, r_dec, spk, spk_attr, text_b,
-                dur, lens_arg)
-            audio = np.asarray(audio)
+            wavs, aux = synth.synthesize(
+                [text for _, _, _, text in chunk], speaker,
+                speaker_text=speaker_text,
+                speaker_attributes=speaker_attributes, sigma=sigma,
+                sigma_tkndur=sigma_tkndur, sigma_f0=sigma_f0,
+                sigma_energy=sigma_energy,
+                denoising_strength=denoising_strength)
 
             from scipy.io.wavfile import write
             for j, (i, p, n_parts, _) in enumerate(chunk):
-                wav = audio[j, : int(totals[j]) * hop]
+                wav = wavs[j]
                 suffix_path = ("{}_{}_{}_durscaling{}_sigma{}_sigmatext{}_"
                                "sigmaf0{}_sigmaenergy{}").format(
                     i, take, speaker, token_dur_scaling, sigma,
@@ -218,9 +126,8 @@ def infer(radtts_path, vocoder_path, vocoder_config_path, text_path,
                     matplotlib.use("Agg")
                     import matplotlib.pylab as plt
                     fig, axes = plt.subplots(2, 1, figsize=(10, 6))
-                    axes[0].plot(np.asarray(outputs["f0"])[j], label="f0")
-                    axes[1].plot(np.asarray(outputs["energy_avg"])[j],
-                                 label="energy_avg")
+                    axes[0].plot(aux["f0"][j], label="f0")
+                    axes[1].plot(aux["energy_avg"][j], label="energy_avg")
                     for ax in axes:
                         ax.legend(loc="best")
                     plt.tight_layout()

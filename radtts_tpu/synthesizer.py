@@ -1,0 +1,178 @@
+"""Warm-model text->waveform synthesis engine.
+
+Loads the RADTTS decoder + attribute predictors and the HiFi-GAN vocoder
+once, then serves repeated synthesis requests off the same jitted stage
+programs (reference pipeline anchor: inference.py:80-156 — durations ->
+attributes -> inverse flow -> vocoder -> denoiser). `inference.py` (file
+CLI) and `serve.py` (HTTP daemon) are both thin shells over this class.
+
+Two-program design (docs/DESIGN.md section 2): durations are sampled
+first, then the decode+vocoder stage runs under a static frame budget, so
+XLA compiles one executable per (batch, text-bucket, frame-budget)
+signature instead of one per utterance.
+
+Knob discipline: sigmas and the denoiser strength are pure multipliers in
+the traced graphs, so they are passed as DEVICE SCALARS — changing them
+per request never retraces. `token_dur_scaling`, `f0_mean/std`,
+`energy_mean/std` and `use_amp` sit behind Python-level control flow in
+the model (radtts.py's reference semantics), so they are fixed at
+construction; vary them by building another Synthesizer.
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from radtts_tpu.data.dataset import Data
+from radtts_tpu.models.hifigan import (denoiser_apply,
+                                       hifigan_generator_apply)
+from radtts_tpu.models.radtts import (infer_durations, radtts_infer,
+                                      radtts_init)
+from radtts_tpu.ops import amp as _amp
+from radtts_tpu.ops.invertible import precompute_inverses
+from radtts_tpu.train.checkpoint import load_any_radtts_checkpoint
+from radtts_tpu.vocoder_io import load_vocoder
+
+
+def frame_budget(n_frames, group_size, multiple=16):
+    m = multiple * group_size
+    return ((int(n_frames) + m - 1) // m) * m
+
+
+class Synthesizer:
+    """One loaded model + vocoder; `synthesize()` per request batch."""
+
+    def __init__(self, config, radtts_path, vocoder_path,
+                 vocoder_config_path, *, use_amp=False, seed=1234,
+                 token_dur_scaling=1.0, token_duration_max=100,
+                 f0_mean=0.0, f0_std=0.0, energy_mean=0.0, energy_std=0.0):
+        model_config = config["model_config"]
+        data_config = config["data_config"]
+        self.model_config = model_config
+        self.sampling_rate = data_config["sampling_rate"]
+        self.hop_length = data_config["hop_length"]
+        self.group_size = model_config["n_group_size"]
+        self.use_amp = use_amp
+        self.token_dur_scaling = token_dur_scaling
+        self.token_duration_max = token_duration_max
+        self.f0_mean, self.f0_std = f0_mean, f0_std
+        self.energy_mean, self.energy_std = energy_mean, energy_std
+
+        self.vocoder, self.denoiser = load_vocoder(vocoder_path,
+                                                   vocoder_config_path)
+        params = radtts_init(jax.random.PRNGKey(0), model_config)
+        params, _ = load_any_radtts_checkpoint(radtts_path, model_config,
+                                               params)
+        self.params = precompute_inverses(params)
+
+        # dataset object only for the speaker-id table + text encoding
+        # (reference inference.py:100-110 does the same)
+        ignore = ("training_files", "validation_files")
+        self.trainset = Data(data_config["training_files"],
+                             **{k: v for k, v in data_config.items()
+                                if k not in ignore})
+        self.rng = jax.random.PRNGKey(seed)
+        self._dur_fn = jax.jit(self._durations)
+
+    # --- text / speakers -------------------------------------------------
+    def encode(self, text):
+        return np.asarray(self.trainset.get_text(text))
+
+    def speaker_id(self, name):
+        return self.trainset.get_speaker_id(name)
+
+    # --- jitted stage bodies ---------------------------------------------
+    def _durations(self, params, rng, spk_text, text_ids, sigma_dur,
+                   in_lens=None):
+        with _amp.scope(self.use_amp):
+            return infer_durations(
+                params, rng, spk_text, text_ids, sigma_dur=sigma_dur,
+                token_dur_scaling=self.token_dur_scaling,
+                token_duration_max=self.token_duration_max,
+                in_lens=in_lens)
+
+    @functools.lru_cache(maxsize=32)
+    def _decode_fn(self, max_frames):
+        def fn(params, vocoder, denoiser, rng, spk, spk_attr, text_ids,
+               dur, in_lens, sigma, sigma_f0, sigma_energy, denoise):
+            with _amp.scope(self.use_amp):
+                out = radtts_infer(
+                    params, rng, spk, text_ids, sigma, max_frames, dur=dur,
+                    sigma_f0=sigma_f0, sigma_energy=sigma_energy,
+                    speaker_id_attributes=spk_attr, f0_mean=self.f0_mean,
+                    f0_std=self.f0_std, energy_mean=self.energy_mean,
+                    energy_std=self.energy_std, in_lens=in_lens)
+            # replicate the last valid frame into the static padding so the
+            # vocoder's receptive field sees no garbage at the boundary
+            total = jnp.sum(dur, axis=1)
+            t = jnp.arange(max_frames)
+            idx = jnp.minimum(t[None, :], total[:, None] - 1)
+            mel = jnp.take_along_axis(out["mel"], idx[:, :, None], axis=1)
+            audio = hifigan_generator_apply(vocoder, mel)
+            audio = denoiser_apply(denoiser, audio, strength=denoise)
+            return out, audio
+        return jax.jit(fn)
+
+    # --- public ------------------------------------------------------------
+    def synthesize(self, texts, speaker, *, speaker_text=None,
+                   speaker_attributes=None, sigma=0.8, sigma_tkndur=0.666,
+                   sigma_f0=1.0, sigma_energy=1.0, denoising_strength=0.0,
+                   trim=True):
+        """Synthesize a batch of texts for one speaker.
+
+        Returns (wavs, aux): `wavs` is a list of float32 numpy arrays (one
+        per text, trimmed to its own duration budget unless trim=False);
+        `aux` has per-item 'f0', 'energy_avg', 'dur', 'n_frames'. Batches
+        pad to a 16-token bucket — the masked encoder makes padded results
+        equal to the exact-length path (tests/test_batched_inference.py).
+        """
+        if isinstance(texts, str):
+            texts = [texts]
+        encs = [self.encode(t) for t in texts]
+        lens = np.array([len(e) for e in encs], np.int32)
+        B = len(encs)
+        if B == 1:
+            N, lens_arg = int(lens[0]), None
+        else:
+            N = ((int(lens.max()) + 15) // 16) * 16
+            lens_arg = jnp.asarray(lens)
+        text_b = np.zeros((B, N), np.int64)
+        for j, e in enumerate(encs):
+            text_b[j, : len(e)] = e
+        text_b = jnp.asarray(text_b)
+
+        def spk_arr(name, default):
+            sid = default if name is None else self.speaker_id(name)
+            return jnp.broadcast_to(jnp.asarray(np.array([sid])), (B,))
+
+        sid = self.speaker_id(speaker)
+        spk = spk_arr(None, sid)
+        spk_text = spk_arr(speaker_text, sid)
+        spk_attr = spk_arr(speaker_attributes, sid)
+
+        self.rng, r_dur, r_dec = jax.random.split(self.rng, 3)
+        dur = self._dur_fn(self.params, r_dur, spk_text, text_b,
+                           jnp.float32(sigma_tkndur), in_lens=lens_arg)
+        totals = np.asarray(jnp.sum(dur, axis=1))
+        if (totals < 1).any():  # untrained/degenerate duration guard
+            valid = np.arange(N)[None, :] < lens[:, None]
+            bump = (totals < 1)[:, None] & valid
+            dur = dur + jnp.asarray(bump.astype(np.int32))
+            totals = np.asarray(jnp.sum(dur, axis=1))
+        max_frames = frame_budget(totals.max(), self.group_size)
+        out, audio = self._decode_fn(max_frames)(
+            self.params, self.vocoder, self.denoiser, r_dec, spk, spk_attr,
+            text_b, dur, lens_arg, jnp.float32(sigma),
+            jnp.float32(sigma_f0), jnp.float32(sigma_energy),
+            jnp.float32(denoising_strength))
+        audio = np.asarray(audio)
+        wavs = [audio[j, : int(totals[j]) * self.hop_length] if trim
+                else audio[j] for j in range(B)]
+        aux = {"dur": np.asarray(dur), "n_frames": totals}
+        for k in ("f0", "energy_avg"):  # absent on attribute-less configs
+            if k in out:
+                aux[k] = np.asarray(out[k])
+        return wavs, aux

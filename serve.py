@@ -1,0 +1,215 @@
+#!/usr/bin/env python
+"""Warm-model TTS serving daemon: load + compile once, synthesize per
+HTTP request (capability beyond the reference, whose inference.py reloads
+the model per invocation — reference inference.py:80-115).
+
+    python serve.py -c CONFIG -r RADTTS_CKPT -v HIFIGAN_CKPT \
+        -k HIFIGAN_CONFIG -s SPEAKER [--port 8008] [--warm]
+
+API (stdlib http.server; no new dependencies):
+  GET  /healthz         -> {"ok": true, "model": ..., "requests": N}
+  POST /tts   body JSON -> audio/wav bytes (single "text"), or
+                           {"sample_rate", "wavs": [b64...], "n_frames"}
+                           when given a "texts" list (one device dispatch
+                           for the whole batch — the batched path of
+                           inference.py --batch_size).
+    {"text": "Hello." | "texts": [...], "speaker": "ljs",
+     "sigma": 0.8, "sigma_tkndur": 0.666, "sigma_f0": 1.0,
+     "sigma_energy": 1.0, "denoising_strength": 0.0, "normalize": true}
+
+Request sigmas/denoising are device scalars in the jitted stages (see
+radtts_tpu/synthesizer.py): changing them NEVER recompiles. New (batch,
+text-bucket, frame-budget) shapes compile once and are persisted in the
+XLA compilation cache, so a restarted server skips straight to execution.
+--warm pre-dispatches one short request at startup so the first real
+request doesn't pay the compile.
+"""
+
+import argparse
+import base64
+import io
+import json
+import threading
+import time
+
+import numpy as np
+
+
+def make_handler(synth, state, defaults, lock):
+    from http.server import BaseHTTPRequestHandler
+
+    from scipy.io.wavfile import write as wav_write
+
+    def render_wav(wav, normalize):
+        if normalize:
+            peak = float(np.max(np.abs(wav)))
+            if peak > 0:
+                wav = wav / peak
+        buf = io.BytesIO()
+        wav_write(buf, synth.sampling_rate, wav.astype(np.float32))
+        return buf.getvalue()
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route through one logger
+            print(f"[serve] {fmt % args}", flush=True)
+
+        def _reply(self, code, body, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _reply_json(self, code, obj):
+            self._reply(code, json.dumps(obj).encode())
+
+        def do_GET(self):
+            if self.path in ("/healthz", "/"):
+                self._reply_json(200, {"ok": True, **state})
+            else:
+                self._reply_json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/tts":
+                self._reply_json(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                texts = req.get("texts")
+                single = texts is None
+                if single:
+                    texts = [req["text"]]
+                knobs = {k: float(req.get(k, defaults[k]))
+                         for k in ("sigma", "sigma_tkndur", "sigma_f0",
+                                   "sigma_energy", "denoising_strength")}
+                speaker = req.get("speaker", defaults["speaker"])
+                normalize = bool(req.get("normalize", True))
+            except Exception as exc:
+                self._reply_json(400, {"error": repr(exc)})
+                return
+            try:
+                tic = time.perf_counter()
+                with lock:  # one device pipeline; batch within a request
+                    wavs, aux = synth.synthesize(texts, speaker, **knobs)
+                dt = time.perf_counter() - tic
+                state["requests"] += 1
+                audio_s = sum(len(w) for w in wavs) / synth.sampling_rate
+                print(f"[serve] {len(texts)} text(s) -> {audio_s:.2f}s "
+                      f"audio in {dt:.3f}s (RTF {dt / max(audio_s, 1e-9):.4f})",
+                      flush=True)
+            except Exception as exc:
+                self._reply_json(500, {"error": repr(exc)})
+                return
+            if single:
+                self._reply(200, render_wav(wavs[0], normalize),
+                            ctype="audio/wav")
+            else:
+                self._reply_json(200, {
+                    "sample_rate": synth.sampling_rate,
+                    "n_frames": aux["n_frames"].tolist(),
+                    "wavs": [base64.b64encode(
+                        render_wav(w, normalize)).decode() for w in wavs]})
+
+    return Handler
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('-c', '--config', type=str, required=True)
+    ap.add_argument('-p', '--params', nargs='+', default=[])
+    ap.add_argument('-r', '--radtts_path', type=str, required=True)
+    ap.add_argument('-v', '--vocoder_path', type=str, required=True)
+    ap.add_argument('-k', '--config_vocoder', type=str, required=True)
+    ap.add_argument('-s', '--speaker', type=str, required=True,
+                    help="default speaker (requests may override)")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", default=8008, type=int)
+    ap.add_argument("--sigma", default=0.8, type=float)
+    ap.add_argument("--sigma_tkndur", default=0.666, type=float)
+    ap.add_argument("--sigma_f0", default=1.0, type=float)
+    ap.add_argument("--sigma_energy", default=1.0, type=float)
+    ap.add_argument("-d", "--denoising_strength", default=0.0, type=float)
+    ap.add_argument("--token_dur_scaling", default=1.0, type=float)
+    ap.add_argument("--f0_mean", default=0.0, type=float)
+    ap.add_argument("--f0_std", default=0.0, type=float)
+    ap.add_argument("--energy_mean", default=0.0, type=float)
+    ap.add_argument("--energy_std", default=0.0, type=float)
+    ap.add_argument("--use_amp", action="store_true")
+    ap.add_argument("--matmul_precision", default=None,
+                    choices=["default", "high", "highest"])
+    ap.add_argument("--seed", default=1234, type=int)
+    ap.add_argument("--warm", action="store_true",
+                    help="compile-warm the pipeline with one short "
+                         "request before accepting traffic")
+    args = ap.parse_args()
+
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    if args.matmul_precision:
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
+
+    from radtts_tpu.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
+    from radtts_tpu.config import update_params
+    from radtts_tpu.synthesizer import Synthesizer
+
+    with open(args.config) as f:
+        config = json.load(f)
+    update_params(config, args.params)
+
+    synth = Synthesizer(
+        config, args.radtts_path, args.vocoder_path, args.config_vocoder,
+        use_amp=args.use_amp, seed=args.seed,
+        token_dur_scaling=args.token_dur_scaling, f0_mean=args.f0_mean,
+        f0_std=args.f0_std, energy_mean=args.energy_mean,
+        energy_std=args.energy_std)
+    print(f"[serve] loaded '{args.radtts_path}'", flush=True)
+
+    defaults = {"sigma": args.sigma, "sigma_tkndur": args.sigma_tkndur,
+                "sigma_f0": args.sigma_f0, "sigma_energy": args.sigma_energy,
+                "denoising_strength": args.denoising_strength,
+                "speaker": args.speaker}
+    state = {"model": args.radtts_path, "requests": 0,
+             "warm": not args.warm}
+    lock = threading.Lock()
+
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(synth, state, defaults, lock))
+
+    if args.warm:
+        # listen first, compile behind the request lock: healthz answers
+        # immediately ("warm": false) and the first real request simply
+        # queues behind the warm compile instead of connection-refusing
+        def warm():
+            tic = time.perf_counter()
+            with lock:
+                synth.synthesize(
+                    "Warm up.", args.speaker, sigma=args.sigma,
+                    sigma_tkndur=args.sigma_tkndur, sigma_f0=args.sigma_f0,
+                    sigma_energy=args.sigma_energy,
+                    denoising_strength=args.denoising_strength)
+            state["warm"] = True
+            print(f"[serve] warm synthesis in "
+                  f"{time.perf_counter() - tic:.1f}s", flush=True)
+
+        threading.Thread(target=warm, daemon=True).start()
+
+    print(f"[serve] listening on http://{args.host}:{args.port}",
+          flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

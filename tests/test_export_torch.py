@@ -47,6 +47,7 @@ def _roundtrip(model_config):
     ref.load_state_dict(sd2, strict=True)
 
 
+@pytest.mark.slow
 def test_export_roundtrip_dap():
     _roundtrip(MODEL_CONFIG)
 

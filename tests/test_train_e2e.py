@@ -168,6 +168,7 @@ def test_trainable_mask_freezing():
     assert not flat_all["flows/0/inv/p"]
 
 
+@pytest.mark.slow
 def test_warmstart_from_torch_with_filters(tmp_path):
     """Warmstart from a reference torch checkpoint with the reference's
     substring filters (train.py:159-176; README.md:46-48 documents dropping
@@ -329,6 +330,7 @@ def test_amp_train_step_parity_and_convergence():
                                                   amp_losses[-1])
 
 
+@pytest.mark.slow
 def test_dataloader_process_pool_matches_threads(tiny_dataset):
     """num_worker_procs>0 (reference's worker-process analogue,
     train.py:151-154): the spawn-pool loader must yield byte-identical
