@@ -176,3 +176,27 @@ class Synthesizer:
             if k in out:
                 aux[k] = np.asarray(out[k])
         return wavs, aux
+
+    def synthesize_long(self, text, speaker, *, max_tokens, gap_ms=120.0,
+                        **kwargs):
+        """Synthesize one text of unbounded length: split at sentence
+        boundaries into chunks of <= max_tokens encoded symbols
+        (text/chunking.py, same splitter as inference.py
+        --long_text_chunk), run the chunks as ONE batched dispatch, and
+        join the trimmed waveforms with `gap_ms` of silence. Returns
+        (wav, aux) where aux carries the batched per-chunk arrays plus
+        'n_chunks'."""
+        from radtts_tpu.text.chunking import split_text_to_chunks
+
+        parts = split_text_to_chunks(
+            text, lambda s: len(self.encode(s)), max_tokens)
+        wavs, aux = self.synthesize(parts, speaker, **kwargs)
+        aux["n_chunks"] = len(parts)
+        gap = np.zeros(int(self.sampling_rate * gap_ms / 1000.0),
+                       np.float32)
+        joined = []
+        for j, w in enumerate(wavs):
+            joined.append(w)
+            if j < len(wavs) - 1:
+                joined.append(gap)
+        return np.concatenate(joined), aux

@@ -15,7 +15,13 @@ API (stdlib http.server; no new dependencies):
                            inference.py --batch_size).
     {"text": "Hello." | "texts": [...], "speaker": "ljs",
      "sigma": 0.8, "sigma_tkndur": 0.666, "sigma_f0": 1.0,
-     "sigma_energy": 1.0, "denoising_strength": 0.0, "normalize": true}
+     "sigma_energy": 1.0, "denoising_strength": 0.0, "normalize": true,
+     "long_text_chunk": 0, "chunk_gap_ms": 120.0}
+
+A single "text" with "long_text_chunk" > 0 is split at sentence
+boundaries into chunks of that many encoded tokens (the CLI's
+--long_text_chunk), synthesized as one batched dispatch, and the chunk
+waveforms joined with chunk_gap_ms of silence — one WAV out.
 
 Request sigmas/denoising are device scalars in the jitted stages (see
 radtts_tpu/synthesizer.py): changing them NEVER recompiles. New (batch,
@@ -87,13 +93,24 @@ def make_handler(synth, state, defaults, lock):
                                    "sigma_energy", "denoising_strength")}
                 speaker = req.get("speaker", defaults["speaker"])
                 normalize = bool(req.get("normalize", True))
+                chunk_tokens = int(req.get("long_text_chunk",
+                                           defaults["long_text_chunk"]))
+                gap_ms = float(req.get("chunk_gap_ms",
+                                       defaults["chunk_gap_ms"]))
             except Exception as exc:
                 self._reply_json(400, {"error": repr(exc)})
                 return
             try:
                 tic = time.perf_counter()
                 with lock:  # one device pipeline; batch within a request
-                    wavs, aux = synth.synthesize(texts, speaker, **knobs)
+                    if single and chunk_tokens > 0:
+                        wav, aux = synth.synthesize_long(
+                            texts[0], speaker, max_tokens=chunk_tokens,
+                            gap_ms=gap_ms, **knobs)
+                        wavs = [wav]
+                    else:
+                        wavs, aux = synth.synthesize(texts, speaker,
+                                                     **knobs)
                 dt = time.perf_counter() - tic
                 state["requests"] += 1
                 audio_s = sum(len(w) for w in wavs) / synth.sampling_rate
@@ -137,6 +154,10 @@ def main():
     ap.add_argument("--f0_std", default=0.0, type=float)
     ap.add_argument("--energy_mean", default=0.0, type=float)
     ap.add_argument("--energy_std", default=0.0, type=float)
+    ap.add_argument("--long_text_chunk", default=0, type=int,
+                    help="default sentence-chunking token budget for "
+                         "single-text requests (0 = off)")
+    ap.add_argument("--chunk_gap_ms", default=120.0, type=float)
     ap.add_argument("--use_amp", action="store_true")
     ap.add_argument("--matmul_precision", default=None,
                     choices=["default", "high", "highest"])
@@ -178,7 +199,9 @@ def main():
     defaults = {"sigma": args.sigma, "sigma_tkndur": args.sigma_tkndur,
                 "sigma_f0": args.sigma_f0, "sigma_energy": args.sigma_energy,
                 "denoising_strength": args.denoising_strength,
-                "speaker": args.speaker}
+                "speaker": args.speaker,
+                "long_text_chunk": args.long_text_chunk,
+                "chunk_gap_ms": args.chunk_gap_ms}
     state = {"model": args.radtts_path, "requests": 0,
              "warm": not args.warm}
     lock = threading.Lock()

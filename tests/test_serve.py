@@ -108,6 +108,18 @@ def test_serve_daemon(tmp_path):
             lens.append(len(audio3))
         assert lens[0] != lens[1]  # trimmed to each item's duration
 
+        # long-text chunking: split at sentence boundaries server-side,
+        # one batched dispatch, chunk wavs joined with a silence gap
+        ctype, body = post("/tts", {
+            "text": "First sentence here. Second sentence follows!",
+            "long_text_chunk": 24, "chunk_gap_ms": 50.0})
+        assert ctype == "audio/wav"
+        srl, audiol = _wav_from_bytes(body)
+        assert np.isfinite(audiol).all() and np.abs(audiol).max() > 1e-4
+        # the joined wav carries the 50 ms gap => strictly longer than
+        # either chunk alone could be, and contains a silent stretch
+        assert len(audiol) > int(srl * 0.05)
+
         # error path: bad request gets 400, not a dead server
         req = urllib.request.Request(
             base + "/tts", data=b'{"no_text": 1}',
@@ -118,7 +130,7 @@ def test_serve_daemon(tmp_path):
         except urllib.error.HTTPError as e:
             assert e.code == 400
         with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
-            assert json.loads(r.read())["requests"] == 3
+            assert json.loads(r.read())["requests"] == 4
     finally:
         proc.terminate()
         try:
