@@ -7,6 +7,8 @@ conv_general_dilated (kernel pre-flipped at conversion), which XLA maps onto
 the MXU; weight norm is collapsed at load (inference path).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -291,6 +293,15 @@ def hifigan_generator_apply(params, mel, *, mrf_impl="auto"):
             tile = 1536 if x.shape[-1] == 64 else 1024
             x = pallas_mrf(x, mrf_weights_from_params(
                 params["resblocks"][i]), tile=tile)
+            continue
+        if (use_pallas and x.shape[-1] == 256
+                and os.environ.get("RADTTS_MRF_WIDE") == "1"):
+            # opt-in (pending on-chip A/B, scripts/ab_mrf_wide.py): one
+            # per-resblock kernel invocation with bf16 weight storage —
+            # within what DEFAULT matmul precision does to fp32 anyway
+            from radtts_tpu.ops.pallas_mrf import pallas_mrf_wide
+            x = pallas_mrf_wide(x, mrf_weights_from_params(
+                params["resblocks"][i]))
             continue
         xs = jnp.zeros_like(x)
         for j, block in enumerate(params["resblocks"][i]):
