@@ -190,6 +190,53 @@ _BATCH_KEYS = ("mel", "speaker_ids", "text", "input_lengths",
                "voiced_mask", "energy_avg")
 
 
+class MultiHostStepRunner:
+    """Compile-before-execute wrapper for multi-host runs.
+
+    The first execution of each compiled program initializes that
+    program's CPU-collectives (Gloo) context, whose key-value rendezvous
+    carries a ~30 s deadline — while ranks' first-call compile times can
+    skew by minutes (measured 22 s vs 100 s when one rank hits the
+    persistent compilation cache and another misses). For every new
+    argument signature this wrapper AOT-compiles on each rank, joins a
+    named barrier, and only then executes, so all ranks enter the
+    rendezvous together. Single-process runs pass straight through to the
+    jitted callable."""
+
+    def __init__(self, jitted, name, n_static_tail=0):
+        self.jitted = jitted
+        self.name = name
+        # trailing static args (static_argnames) go to lower() but must be
+        # OMITTED when calling the compiled executable (they are baked in)
+        self.n_static_tail = n_static_tail
+        self.aot = {}
+
+    @staticmethod
+    def _sig(args):
+        out = []
+        for leaf in jax.tree.leaves(args):
+            if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
+                out.append((tuple(leaf.shape), str(leaf.dtype)))
+            else:
+                out.append(("py", repr(leaf)))
+        return tuple(out)
+
+    def __call__(self, *args):
+        if jax.process_count() == 1:
+            return self.jitted(*args)
+        sig = self._sig(args)
+        fn = self.aot.get(sig)
+        if fn is None:
+            from jax.experimental import multihost_utils
+            fn = self.jitted.lower(*args).compile()
+            multihost_utils.sync_global_devices(
+                f"{self.name}/{len(self.aot)}")
+            self.aot[sig] = fn
+        if self.n_static_tail:
+            args = args[:len(args) - self.n_static_tail]
+        return fn(*args)
+
+
 def make_mesh(devices=None, n_model=1):
     """dp(×tp) mesh for the training loop.
 
@@ -220,6 +267,34 @@ def shard_batch(batch, mesh):
     batch_sharding = NamedSharding(mesh, P("data"))
     n_data = mesh.shape.get("data", 1)
     multi_host = jax.process_count() > 1
+    if multi_host:
+        # each process collated its own local rows, so the padded text /
+        # frame buckets can DIFFER across ranks — and
+        # make_array_from_process_local_data requires identical local
+        # shapes. Sync every rank to the global max bucket (extra zero
+        # columns match DataCollate's padding; lengths arrays keep the true
+        # values, so masking makes the padding inert).
+        from jax.experimental import multihost_utils
+        n_loc = (np.asarray(batch["text"]).shape[1]
+                 if batch.get("text") is not None else 0)
+        t_loc = (np.asarray(batch["mel"]).shape[1]
+                 if batch.get("mel") is not None else 0)
+        gdims = np.asarray(multihost_utils.process_allgather(
+            np.asarray([n_loc, t_loc], np.int64))).reshape(-1, 2)
+        n_g, t_g = int(gdims[:, 0].max()), int(gdims[:, 1].max())
+        _grow = {"text": (n_g,), "mel": (t_g, None), "attn_prior":
+                 (t_g, n_g), "f0": (t_g,), "p_voiced": (t_g,),
+                 "voiced_mask": (t_g,), "energy_avg": (t_g,)}
+
+        def _pad_to_global(k, v):
+            targets = _grow.get(k)
+            if targets is None:
+                return v
+            pads = [(0, 0)]
+            for axis, tgt in enumerate(targets, start=1):
+                pads.append((0, 0) if tgt is None
+                            else (0, tgt - v.shape[axis]))
+            return np.pad(v, pads) if any(p[1] for p in pads) else v
     b = None
     reps = None
     for k in _BATCH_KEYS:
@@ -227,6 +302,8 @@ def shard_batch(batch, mesh):
         if v is None:
             continue
         v = np.asarray(v)
+        if multi_host:
+            v = _pad_to_global(k, v)
         if b is None:
             b = v.shape[0]
             local_mult = (n_data // jax.process_count() if multi_host
@@ -377,6 +454,12 @@ def train(config, output_directory, epochs, optim_algo, learning_rate,
     # built ONCE: rebuilding per validation would re-trace + recompile the
     # whole eval graph at every checkpoint (expensive on tunneled backends)
     eval_step = make_eval_step(model_config, loss_weights, sigma)
+    if n_process > 1:
+        # every rank compiles a new signature BEFORE any rank executes it
+        # (Gloo rendezvous deadline vs compile skew — see the class doc)
+        train_step = MultiHostStepRunner(train_step, "train_step",
+                                         n_static_tail=2)
+        eval_step = MultiHostStepRunner(eval_step, "eval_step")
 
     ignore_keys = ["training_files", "validation_files"]
     trainset = Data(data_config["training_files"],

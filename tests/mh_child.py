@@ -18,6 +18,11 @@ RANK = int(os.environ["MH_RANK"])
 WORLD = int(os.environ["MH_WORLD"])
 
 if WORLD > 1:
+    # all ranks share this host: pin Gloo to loopback (the default
+    # interface pick is the first external NIC, which sandboxed hosts may
+    # not route between local processes) — train.py does the same for a
+    # localhost coordinator
+    os.environ.setdefault("GLOO_SOCKET_IFNAME", "lo")
     jax.distributed.initialize(
         coordinator_address=f"127.0.0.1:{os.environ['MH_PORT']}",
         num_processes=WORLD, process_id=RANK)
@@ -36,6 +41,17 @@ from radtts_tpu.train.trainer import (build_trainable_mask,  # noqa: E402
 
 
 def main():
+    if WORLD > 1:
+        # Establish the Gloo collectives context while both ranks are at
+        # the same point: the context's key-value rendezvous has a 30 s
+        # deadline, and on a loaded single-core host the ranks' first
+        # train-step compiles can skew by more than that — the fast rank
+        # then dies in GetKeyValue before the slow rank ever executes.
+        # A trivial psum compiles in seconds on both ranks and the heavy
+        # step later reuses the established context (same device clique).
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("gloo_context_warmup")
+
     cfg = _flagship_model_config(small=True)
     params = radtts_init_with(cfg)
     optimizer = build_optimizer("Adam", 1e-4, 0.0, 1.0)
@@ -56,6 +72,29 @@ def main():
                  for k, v in batch_global.items()}
     else:
         local = batch_global
+
+    if WORLD > 1 and os.environ.get("MH_PAD_SKEW") == "1" and RANK == 1:
+        # simulate per-rank collate divergence: this rank's local batch
+        # sits in a LARGER text/frame bucket than rank 0's.
+        # trainer.shard_batch must sync every rank to the global max
+        # bucket before make_array_from_process_local_data, or the global
+        # array assembly fails on mismatched local shapes.
+        grow = {"text": ((0, 0), (0, 16)),
+                "mel": ((0, 0), (0, 16), (0, 0)),
+                "attn_prior": ((0, 0), (0, 16), (0, 16)),
+                "f0": ((0, 0), (0, 16)),
+                "voiced_mask": ((0, 0), (0, 16)),
+                "energy_avg": ((0, 0), (0, 16))}
+        local = {k: (np.pad(np.asarray(v), grow[k]) if k in grow else v)
+                 for k, v in local.items()}
+
+    # production mechanism (trainer.py uses the same wrapper): AOT-compile
+    # each new signature on every rank, barrier, then execute — the step
+    # program's Gloo rendezvous has a 30 s deadline, while first-call
+    # compile times skew across ranks by minutes when one rank hits the
+    # persistent compilation cache and another misses.
+    from radtts_tpu.train.trainer import MultiHostStepRunner
+    step = MultiHostStepRunner(step, "mh_child_step", n_static_tail=2)
 
     rng = jax.random.PRNGKey(0)
     results = []

@@ -24,7 +24,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run_world(world, devices_per_proc, timeout=900):
+def _run_world(world, devices_per_proc, timeout=900, extra_env=None):
     port = str(_free_port())
     env_base = dict(os.environ)
     env_base.pop("XLA_FLAGS", None)  # conftest's 8-device flag must not leak
@@ -34,7 +34,8 @@ def _run_world(world, devices_per_proc, timeout=900):
                    JAX_PLATFORMS="cpu",
                    XLA_FLAGS=f"--xla_force_host_platform_device_count="
                              f"{devices_per_proc}",
-                   MH_RANK=str(rank), MH_WORLD=str(world), MH_PORT=port)
+                   MH_RANK=str(rank), MH_WORLD=str(world), MH_PORT=port,
+                   **(extra_env or {}))
         procs.append(subprocess.Popen(
             [sys.executable, CHILD], env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
@@ -51,6 +52,20 @@ def _run_world(world, devices_per_proc, timeout=900):
             if line.startswith("MH_RESULT "):
                 return json.loads(line[len("MH_RESULT "):])
     raise AssertionError(f"no MH_RESULT in output: {outs}")
+
+
+@pytest.mark.slow
+def test_two_process_divergent_buckets():
+    # ranks whose independently-collated batches land in DIFFERENT padded
+    # buckets: shard_batch must sync all ranks to the global max bucket
+    # before assembling the global array (without the sync this crashes in
+    # make_array_from_process_local_data). Dropout noise is shape-
+    # dependent, so only execution + finiteness is asserted here; exact
+    # loss parity is the test below.
+    multi = _run_world(2, 2, extra_env={"MH_PAD_SKEW": "1"})
+    assert len(multi) == 2
+    for loss, gn in multi:
+        assert np.isfinite(loss) and np.isfinite(gn)
 
 
 @pytest.mark.slow

@@ -58,7 +58,20 @@ if __name__ == "__main__":
         import jax
         coordinator = (os.getenv('MASTER_ADDR', '127.0.0.1') + ':'
                        + os.getenv('MASTER_PORT', '12355'))
+        if coordinator.rsplit(':', 1)[0] in ('127.0.0.1', 'localhost'):
+            # all ranks are on this host (dev/test runs): pin the CPU
+            # backend's Gloo collectives to loopback — default interface
+            # selection picks the first external NIC, which sandboxed or
+            # firewalled hosts may not route between local processes
+            os.environ.setdefault('GLOO_SOCKET_IFNAME', 'lo')
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=world, process_id=rank)
+        # startup barrier: establishes the collectives context (Gloo on
+        # CPU) while every rank is at the same point — its key-value
+        # rendezvous has a short deadline, and first-step compile skew
+        # across ranks can exceed it — and fails fast with a clear error
+        # if a rank never joined
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("startup")
 
     train(config, **train_config)
