@@ -48,25 +48,15 @@ class Synthesizer:
     def __init__(self, config, radtts_path, vocoder_path,
                  vocoder_config_path, *, use_amp=False, seed=1234,
                  token_dur_scaling=1.0, token_duration_max=100,
-                 f0_mean=0.0, f0_std=0.0, energy_mean=0.0, energy_std=0.0):
+                 f0_mean=0.0, f0_std=0.0, energy_mean=0.0, energy_std=0.0,
+                 bucket_single=False):
         model_config = config["model_config"]
         data_config = config["data_config"]
-        self.model_config = model_config
-        self.sampling_rate = data_config["sampling_rate"]
-        self.hop_length = data_config["hop_length"]
-        self.group_size = model_config["n_group_size"]
-        self.use_amp = use_amp
-        self.token_dur_scaling = token_dur_scaling
-        self.token_duration_max = token_duration_max
-        self.f0_mean, self.f0_std = f0_mean, f0_std
-        self.energy_mean, self.energy_std = energy_mean, energy_std
 
-        self.vocoder, self.denoiser = load_vocoder(vocoder_path,
-                                                   vocoder_config_path)
+        vocoder, denoiser = load_vocoder(vocoder_path, vocoder_config_path)
         params = radtts_init(jax.random.PRNGKey(0), model_config)
         params, _ = load_any_radtts_checkpoint(radtts_path, model_config,
                                                params)
-        self.params = precompute_inverses(params)
 
         # dataset object only for the speaker-id table + text encoding
         # (reference inference.py:100-110 does the same)
@@ -74,15 +64,74 @@ class Synthesizer:
         self.trainset = Data(data_config["training_files"],
                              **{k: v for k, v in data_config.items()
                                 if k not in ignore})
+        self._setup(
+            model_config, params, vocoder, denoiser,
+            encode_fn=lambda t: np.asarray(self.trainset.get_text(t)),
+            speaker_id_fn=self.trainset.get_speaker_id,
+            sampling_rate=data_config["sampling_rate"],
+            hop_length=data_config["hop_length"], use_amp=use_amp,
+            seed=seed, token_dur_scaling=token_dur_scaling,
+            token_duration_max=token_duration_max, f0_mean=f0_mean,
+            f0_std=f0_std, energy_mean=energy_mean, energy_std=energy_std,
+            bucket_single=bucket_single)
+
+    @classmethod
+    def from_parts(cls, model_config, params, vocoder, denoiser, *,
+                   encode_fn, speaker_id_fn, sampling_rate=22050,
+                   hop_length=256, use_amp=False, seed=1234,
+                   token_dur_scaling=1.0, token_duration_max=100,
+                   f0_mean=0.0, f0_std=0.0, energy_mean=0.0,
+                   energy_std=0.0, bucket_single=False):
+        """Build from in-memory objects (no checkpoint files): for tests
+        and for embedding the engine next to a training loop (e.g. sample
+        from params mid-fine-tune). `params` should already contain or be
+        passed through precompute_inverses; it is applied here either way
+        (idempotent). `encode_fn(text) -> int array`; `speaker_id_fn(name)
+        -> int`."""
+        self = object.__new__(cls)
+        self.trainset = None
+        self._setup(model_config, params, vocoder, denoiser,
+                    encode_fn=encode_fn, speaker_id_fn=speaker_id_fn,
+                    sampling_rate=sampling_rate, hop_length=hop_length,
+                    use_amp=use_amp, seed=seed,
+                    token_dur_scaling=token_dur_scaling,
+                    token_duration_max=token_duration_max, f0_mean=f0_mean,
+                    f0_std=f0_std, energy_mean=energy_mean,
+                    energy_std=energy_std, bucket_single=bucket_single)
+        return self
+
+    def _setup(self, model_config, params, vocoder, denoiser, *, encode_fn,
+               speaker_id_fn, sampling_rate, hop_length, use_amp, seed,
+               token_dur_scaling, token_duration_max, f0_mean, f0_std,
+               energy_mean, energy_std, bucket_single):
+        self.model_config = model_config
+        self.sampling_rate = sampling_rate
+        self.hop_length = hop_length
+        self.group_size = model_config["n_group_size"]
+        self.use_amp = use_amp
+        self.token_dur_scaling = token_dur_scaling
+        self.token_duration_max = token_duration_max
+        self.f0_mean, self.f0_std = f0_mean, f0_std
+        self.energy_mean, self.energy_std = energy_mean, energy_std
+        # bucket_single: pad single-text requests to the same 16-token
+        # buckets as batches (padded == exact: tests/test_batched_inference)
+        # so a long-running server compiles a BOUNDED set of text-length
+        # programs instead of one per distinct length. Off by default —
+        # the file CLI keeps exact single-item shapes.
+        self.bucket_single = bucket_single
+        self.vocoder, self.denoiser = vocoder, denoiser
+        self.params = precompute_inverses(params)
+        self._encode_fn = encode_fn
+        self._speaker_id_fn = speaker_id_fn
         self.rng = jax.random.PRNGKey(seed)
         self._dur_fn = jax.jit(self._durations)
 
     # --- text / speakers -------------------------------------------------
     def encode(self, text):
-        return np.asarray(self.trainset.get_text(text))
+        return np.asarray(self._encode_fn(text))
 
     def speaker_id(self, name):
-        return self.trainset.get_speaker_id(name)
+        return self._speaker_id_fn(name)
 
     # --- jitted stage bodies ---------------------------------------------
     def _durations(self, params, rng, spk_text, text_ids, sigma_dur,
@@ -134,7 +183,7 @@ class Synthesizer:
         encs = [self.encode(t) for t in texts]
         lens = np.array([len(e) for e in encs], np.int32)
         B = len(encs)
-        if B == 1:
+        if B == 1 and not self.bucket_single:
             N, lens_arg = int(lens[0]), None
         else:
             N = ((int(lens.max()) + 15) // 16) * 16

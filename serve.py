@@ -193,7 +193,11 @@ def main():
         use_amp=args.use_amp, seed=args.seed,
         token_dur_scaling=args.token_dur_scaling, f0_mean=args.f0_mean,
         f0_std=args.f0_std, energy_mean=args.energy_mean,
-        energy_std=args.energy_std)
+        energy_std=args.energy_std,
+        # single texts pad to the batch path's 16-token buckets (padded ==
+        # exact) so a long-running server compiles a BOUNDED set of
+        # text-length programs, not one per distinct request length
+        bucket_single=True)
     print(f"[serve] loaded '{args.radtts_path}'", flush=True)
 
     defaults = {"sigma": args.sigma, "sigma_tkndur": args.sigma_tkndur,
