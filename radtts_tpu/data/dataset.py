@@ -493,6 +493,16 @@ class DataLoader:
             idx = rng.permutation(n)
         else:
             idx = np.arange(n)
+        if self.world_size > 1:
+            # wrap-pad so every rank gets the SAME sample count (torch
+            # DistributedSampler semantics, reference train.py:147-149):
+            # unequal counts would give ranks different batch counts —
+            # one rank then executes a step whose collectives no other
+            # rank joins — and different final-batch sizes, which the
+            # global-array assembly in trainer.shard_batch cannot accept.
+            total = (-n % self.world_size) + n
+            if total > n:
+                idx = np.concatenate([idx, idx[: total - n]])
         idx = idx[self.rank::self.world_size]
         n_batches = (len(idx) // self.batch_size if self.drop_last
                      else (len(idx) + self.batch_size - 1)

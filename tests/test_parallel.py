@@ -228,30 +228,47 @@ def test_validation_remainder_batch_on_8_devices():
     assert totals and all(np.isfinite(v) for v in totals.values()), totals
 
 
-def test_loader_rank_sharding_disjoint():
-    """Multi-host dataset sharding: ranks see disjoint index sets that
-    cover the dataset (reference: DistributedSampler, train.py:147-149)."""
+def test_loader_rank_sharding_covers_equally():
+    """Multi-host dataset sharding (reference: DistributedSampler,
+    train.py:147-149): every rank gets the SAME sample count and batch
+    schedule — unequal counts would strand one rank in a collective no
+    other rank joins — via wrap-padding, with the union covering the
+    dataset and duplicates bounded by the pad."""
     from radtts_tpu.data.dataset import DataLoader
 
-    dataset = list(range(23))
-    seen = []
+    dataset = list(range(23))  # 23 % 4 != 0: forces the wrap-pad
+    seen, counts, batch_sizes = [], [], []
     for rank in range(4):
         loader = DataLoader(dataset, 2, lambda items: items, shuffle=True,
                             seed=7, rank=rank, world_size=4,
                             drop_last=False)
         loader.set_epoch(3)
-        idx = np.concatenate(loader._indices())
-        seen.append(set(int(i) for i in idx))
-    union = set().union(*seen)
+        batches = loader._indices()
+        counts.append(sum(len(b) for b in batches))
+        batch_sizes.append([len(b) for b in batches])
+        seen.append([int(i) for i in np.concatenate(batches)])
+    # equal count AND identical per-batch sizes on every rank
+    assert len(set(counts)) == 1
+    assert all(bs == batch_sizes[0] for bs in batch_sizes)
+    union = set().union(*(set(s) for s in seen))
     assert union == set(range(23))
-    for a in range(4):
-        for b in range(a + 1, 4):
-            assert not (seen[a] & seen[b])
+    # only the wrap-pad duplicates: 24 total draws over 23 samples
+    assert sum(len(s) for s in seen) == 24
     # deterministic given (seed, epoch)
     loader2 = DataLoader(dataset, 2, lambda items: items, shuffle=True,
                          seed=7, rank=1, world_size=4, drop_last=False)
     loader2.set_epoch(3)
-    assert set(int(i) for i in np.concatenate(loader2._indices())) == seen[1]
+    assert [int(i) for i in np.concatenate(loader2._indices())] == seen[1]
+
+    # drop_last=True (training): equal BATCH counts across ranks for an
+    # n that previously gave rank 0 an extra batch (39 -> 20/19 split)
+    n_b = []
+    for rank in range(2):
+        loader = DataLoader(list(range(39)), 10, lambda x: x, shuffle=True,
+                            seed=7, rank=rank, world_size=2,
+                            drop_last=True)
+        n_b.append(len(loader._indices()))
+    assert n_b[0] == n_b[1] == 2
 
 
 @pytest.mark.slow
