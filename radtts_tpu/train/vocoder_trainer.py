@@ -150,12 +150,19 @@ class SegmentSampler:
                 w = np.pad(w, (0, segment_size - len(w)), mode="reflect")
             self.audio.append(w)
         self.segment_size = segment_size
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
 
-    def sample(self, batch_size):
+    def sample(self, batch_size, step=None):
+        """step=None: draw from the sampler's own stream. step=i: derive
+        the stream from (seed, i) so a resumed run at iteration i draws
+        the SAME segments the uninterrupted run would have — bit-exact
+        resume (train_vocoder.py passes the iteration)."""
+        rng = (self.rng if step is None
+               else np.random.default_rng((self.seed, int(step))))
         out = np.empty((batch_size, self.segment_size), np.float32)
         for b in range(batch_size):
-            w = self.audio[self.rng.integers(len(self.audio))]
-            o = self.rng.integers(0, len(w) - self.segment_size + 1)
+            w = self.audio[rng.integers(len(self.audio))]
+            o = rng.integers(0, len(w) - self.segment_size + 1)
             out[b] = w[o: o + self.segment_size]
         return out

@@ -121,3 +121,55 @@ def test_gen_grads_trace_with_pallas_mrf_requested():
     # abstract trace only — no lowering, so it runs without a TPU backend;
     # raises NotImplementedError if pallas ends up in the diff path
     jax.eval_shape(step, params, opt_g, opt_d, audio, rng)
+
+
+@pytest.mark.slow
+def test_vocoder_resume_bit_exact(tmp_path):
+    """train_vocoder.py --resume contract: 4 straight steps must equal
+    2 steps + full-state save/load + 2 steps, bit for bit — rng and
+    segment draws are keyed by the ITERATION (not a restarting stream),
+    and the do_* checkpoint restores discriminators + both optimizers."""
+    from scipy.io import wavfile
+
+    from radtts_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    p = tmp_path / "a.wav"
+    t = np.arange(12000) / 22050
+    wavfile.write(p, 22050,
+                  (np.sin(2 * np.pi * 220 * t) * 18000).astype(np.int16))
+    sampler = SegmentSampler([str(p)], segment_size=4096, seed=3)
+    base = jax.random.PRNGKey(7)
+
+    def fresh():
+        params = vocoder_train_init(jax.random.PRNGKey(0), H_SMALL)
+        optim_g, optim_d = make_optimizers(lr=2e-3)
+        opt_g = optim_g.init(params["gen"])
+        opt_d = optim_d.init({"mpd": params["mpd"], "msd": params["msd"]})
+        step = make_vocoder_train_step(MEL_KW, optim_g, optim_d)
+        return params, opt_g, opt_d, step
+
+    def advance(state, its):
+        params, opt_g, opt_d, step = state
+        for it in its:
+            audio = jnp.asarray(sampler.sample(2, step=it))
+            sub = jax.random.fold_in(base, it)
+            params, opt_g, opt_d, _ = step(params, opt_g, opt_d, audio, sub)
+        return params, opt_g, opt_d, step
+
+    # uninterrupted
+    pa, _, _, _ = advance(fresh(), range(4))
+
+    # interrupted at iteration 2 + full-state resume
+    params, opt_g, opt_d, step = advance(fresh(), range(2))
+    ck = str(tmp_path / "do_00000002")
+    save_checkpoint(ck, params, {"g": opt_g, "d": opt_d}, iteration=2)
+    params2, opt_g2, opt_d2, step2 = fresh()
+    params2, opts, meta = load_checkpoint(ck, params2,
+                                          {"g": opt_g2, "d": opt_d2})
+    assert int(meta["iteration"]) == 2
+    pb, _, _, _ = advance((params2, opts["g"], opts["d"], step2), range(2, 4))
+
+    la, lb = jax.tree.leaves(pa), jax.tree.leaves(pb)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -108,11 +108,13 @@ def main(args, config):
     sampler = SegmentSampler(paths, args.segment_size, seed=args.seed)
     os.makedirs(args.output_dir, exist_ok=True)
 
-    rng = jax.random.PRNGKey(args.seed + 1)
+    base_rng = jax.random.PRNGKey(args.seed + 1)
     tic = time.time()
     for it in range(start_it, args.steps):
-        audio = jnp.asarray(sampler.sample(args.batch_size))
-        rng, sub = jax.random.split(rng)
+        # rng and segment choice both keyed by the ITERATION, so a
+        # --resume run continues the exact stream of the uninterrupted one
+        audio = jnp.asarray(sampler.sample(args.batch_size, step=it))
+        sub = jax.random.fold_in(base_rng, it)
         params, opt_g, opt_d, metrics = step(params, opt_g, opt_d, audio,
                                              sub)
         if it % args.log_interval == 0:
