@@ -396,13 +396,35 @@ def denoiser_apply(params, audio, strength=0.1):
     in (re, im): no angle/cos/sin transcendentals, and both DFTs ride the
     MXU (see ops/stft.py matmul bases). Bit-equivalent to the reference's
     magnitude/phase formulation (hifigan_denoiser.py:54-59) up to fp32
-    rounding."""
+    rounding.
+
+    strength <= 0 short-circuits to the input via lax.cond — strength is a
+    device scalar in the serving/CLI graphs (never a retrace), and the
+    runtime branch skips the whole STFT round trip. (The reference runs
+    the round trip even at strength 0, inference.py:133; on COLA windows
+    that round trip is the identity up to fp32 edge effects, so skipping
+    is a deviation of < 1e-6.)"""
     meta = params["_meta"]
-    re, im = stft_reim(audio, meta["filter_length"], meta["hop_length"],
-                       meta["win_length"])
-    mag = jnp.sqrt(re * re + im * im)
-    tiny = jnp.finfo(jnp.float32).tiny
-    scale = jnp.clip(mag - params["bias_spec"] * strength, 0.0) / \
-        jnp.maximum(mag, tiny)
-    return istft_reim(re * scale, im * scale, meta["filter_length"],
-                      meta["hop_length"], meta["win_length"])
+
+    def denoise(audio):
+        re, im = stft_reim(audio, meta["filter_length"],
+                           meta["hop_length"], meta["win_length"])
+        mag = jnp.sqrt(re * re + im * im)
+        tiny = jnp.finfo(jnp.float32).tiny
+        scale = jnp.clip(mag - params["bias_spec"] * strength, 0.0) / \
+            jnp.maximum(mag, tiny)
+        return istft_reim(re * scale, im * scale, meta["filter_length"],
+                          meta["hop_length"], meta["win_length"])
+
+    strength = jnp.asarray(strength, jnp.float32)
+    # the STFT round trip changes the tail length (frame quantization);
+    # conform the identity branch to the same output shape
+    n_out = jax.eval_shape(denoise, audio).shape[-1]
+    n_in = audio.shape[-1]
+
+    def identity(a):
+        if n_out <= n_in:
+            return a[..., :n_out]
+        return jnp.pad(a, ((0, 0), (0, n_out - n_in)))
+
+    return lax.cond(strength > 0, denoise, identity, audio)

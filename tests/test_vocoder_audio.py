@@ -1,6 +1,7 @@
 """HiFi-GAN generator/denoiser and STFT/mel frontend parity."""
 
 import numpy as np
+import jax
 import torch
 
 import jax.numpy as jnp
@@ -166,3 +167,30 @@ def test_gaussian_blur_parity():
                                       jnp.asarray(mel.numpy()),
                                       p_blurring=0.0)
     np.testing.assert_array_equal(np.asarray(same), mel.numpy())
+
+
+def test_denoiser_zero_strength_is_identity():
+    """strength == 0 must short-circuit to the input (lax.cond runtime
+    branch; strength stays a device scalar so serving never retraces) —
+    and a traced scalar must flip the behavior without recompilation."""
+    from radtts_tpu.models.hifigan import (denoiser_apply, denoiser_init,
+                                           hifigan_generator_init)
+    h = {"resblock": "1", "upsample_rates": [8, 8, 2, 2],
+         "upsample_kernel_sizes": [16, 16, 4, 4],
+         "upsample_initial_channel": 32,
+         "resblock_kernel_sizes": [3, 7, 11],
+         "resblock_dilation_sizes": [[1, 3, 5]] * 3}
+    voc = hifigan_generator_init(jax.random.PRNGKey(0), h)
+    den = denoiser_init(voc)
+    # random-init vocoders have a near-zero bias spectrum; inflate it so
+    # the strength > 0 branch visibly subtracts
+    den = dict(den, bias_spec=den["bias_spec"] + 0.1)
+    audio = jnp.asarray(np.random.default_rng(0)
+                        .standard_normal((1, 8192)).astype(np.float32))
+
+    f = jax.jit(lambda a, s: denoiser_apply(den, a, strength=s))
+    np.testing.assert_array_equal(np.asarray(f(audio, jnp.float32(0.0))),
+                                  np.asarray(audio))
+    out = np.asarray(f(audio, jnp.float32(0.05)))
+    assert np.isfinite(out).all()
+    assert np.abs(out - np.asarray(audio)).max() > 1e-5
