@@ -581,9 +581,13 @@ def compute_validation_loss(iteration, params, model_config, loss_weights,
     for batch in val_loader:
         sharded = shard_batch(batch, mesh)
         scalars, attn, attn_soft = eval_step(params, sharded)
+        # accumulate DEVICE scalars: a float() here would host-sync every
+        # loss key every batch (0.7 ms – 1 s per sync on tunneled backends)
         for k, v in scalars.items():
-            totals[k] = totals.get(k, 0.0) + float(v) / n_batches
+            totals[k] = v if k not in totals else totals[k] + v
         last_batch = batch
+    totals = {k: float(v) / n_batches
+              for k, v in zip(totals, jax.device_get(list(totals.values())))}
 
     if logger is not None:
         for k, v in totals.items():
