@@ -507,17 +507,24 @@ def train(config, output_directory, epochs, optim_algo, learning_rate,
                 print(f"profiler trace written to {profile_dir}")
 
             if iteration % max(log_interval, 1) == 0:
-                total = float(total)  # host sync
+                # ONE batched host transfer for all logged scalars (a
+                # float() per key costs a full round trip each on
+                # tunneled backends)
+                fetched = jax.device_get(
+                    {"_total": total, "_grad_norm": grad_norm,
+                     **{k: v for k, (v, _) in loss_dict.items()}})
+                total = float(fetched.pop("_total"))
+                grad_norm_f = float(fetched.pop("_grad_norm"))
                 toc = time.time()
                 print_list = [f"iter: {iteration}  ({toc - tic:.2f} s)  |  "
                               f"lr: {learning_rate}"]
-                for k, (v, w) in loss_dict.items():
-                    v = float(v)
+                for k in loss_dict:
+                    v = float(fetched[k])
                     print_list.append(f"  |  {k}: {v:.3f}")
                     if logger is not None:
                         logger.add_scalar("train/" + k, v, iteration)
                 if logger is not None:
-                    logger.add_scalar("train/grad_norm", float(grad_norm),
+                    logger.add_scalar("train/grad_norm", grad_norm_f,
                                       iteration)
                 print("".join(print_list), flush=True)
 
