@@ -502,7 +502,10 @@ class DataLoader:
             # global-array assembly in trainer.shard_batch cannot accept.
             total = (-n % self.world_size) + n
             if total > n:
-                idx = np.concatenate([idx, idx[: total - n]])
+                # np.resize repeats cyclically — correct even when the pad
+                # exceeds the dataset size (n < world_size), where a single
+                # concat slice would still leave ranks with zero samples
+                idx = np.resize(idx, total)
         idx = idx[self.rank::self.world_size]
         n_batches = (len(idx) // self.batch_size if self.drop_last
                      else (len(idx) + self.batch_size - 1)

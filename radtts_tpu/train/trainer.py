@@ -203,12 +203,16 @@ class MultiHostStepRunner:
     rendezvous together. Single-process runs pass straight through to the
     jitted callable."""
 
-    def __init__(self, jitted, name, n_static_tail=0):
+    def __init__(self, jitted, name, n_static_tail=0, sig_argnums=None):
         self.jitted = jitted
         self.name = name
         # trailing static args (static_argnames) go to lower() but must be
         # OMITTED when calling the compiled executable (they are baked in)
         self.n_static_tail = n_static_tail
+        # which argument positions can actually vary (e.g. the batch and
+        # the curriculum flags): flattening the whole params + optimizer
+        # pytree per step just to build a dict key is wasted host time
+        self.sig_argnums = sig_argnums
         self.aot = {}
 
     @staticmethod
@@ -224,7 +228,8 @@ class MultiHostStepRunner:
     def __call__(self, *args):
         if jax.process_count() == 1:
             return self.jitted(*args)
-        sig = self._sig(args)
+        sig = self._sig(args if self.sig_argnums is None
+                        else tuple(args[i] for i in self.sig_argnums))
         fn = self.aot.get(sig)
         if fn is None:
             from jax.experimental import multihost_utils
@@ -458,8 +463,10 @@ def train(config, output_directory, epochs, optim_algo, learning_rate,
         # every rank compiles a new signature BEFORE any rank executes it
         # (Gloo rendezvous deadline vs compile skew — see the class doc)
         train_step = MultiHostStepRunner(train_step, "train_step",
-                                         n_static_tail=2)
-        eval_step = MultiHostStepRunner(eval_step, "eval_step")
+                                         n_static_tail=2,
+                                         sig_argnums=(2, 4, 5))
+        eval_step = MultiHostStepRunner(eval_step, "eval_step",
+                                        sig_argnums=(1,))
 
     ignore_keys = ["training_files", "validation_files"]
     trainset = Data(data_config["training_files"],

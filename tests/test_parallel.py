@@ -270,6 +270,15 @@ def test_loader_rank_sharding_covers_equally():
         n_b.append(len(loader._indices()))
     assert n_b[0] == n_b[1] == 2
 
+    # dataset SMALLER than the world: every rank must still get one
+    # sample (cyclic repetition), not [1, 1, 0, 0]
+    per_rank = []
+    for rank in range(4):
+        loader = DataLoader(list(range(1)), 1, lambda x: x, shuffle=False,
+                            rank=rank, world_size=4, drop_last=False)
+        per_rank.append(sum(len(b) for b in loader._indices()))
+    assert per_rank == [1, 1, 1, 1]
+
 
 @pytest.mark.slow
 def test_dp_inference_matches_single_device():

@@ -5,7 +5,6 @@ server's compiled-program set bounded — one program per 16-token bucket,
 not one per distinct request length)."""
 
 import numpy as np
-import pytest
 
 import jax
 
