@@ -25,6 +25,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from radtts_tpu.data.dataset import Data
 from radtts_tpu.models.hifigan import (denoiser_apply,
@@ -49,7 +50,7 @@ class Synthesizer:
                  vocoder_config_path, *, use_amp=False, seed=1234,
                  token_dur_scaling=1.0, token_duration_max=100,
                  f0_mean=0.0, f0_std=0.0, energy_mean=0.0, energy_std=0.0,
-                 bucket_single=False):
+                 bucket_single=False, data_parallel=1):
         model_config = config["model_config"]
         data_config = config["data_config"]
 
@@ -73,7 +74,7 @@ class Synthesizer:
             seed=seed, token_dur_scaling=token_dur_scaling,
             token_duration_max=token_duration_max, f0_mean=f0_mean,
             f0_std=f0_std, energy_mean=energy_mean, energy_std=energy_std,
-            bucket_single=bucket_single)
+            bucket_single=bucket_single, data_parallel=data_parallel)
 
     @classmethod
     def from_parts(cls, model_config, params, vocoder, denoiser, *,
@@ -81,7 +82,7 @@ class Synthesizer:
                    hop_length=256, use_amp=False, seed=1234,
                    token_dur_scaling=1.0, token_duration_max=100,
                    f0_mean=0.0, f0_std=0.0, energy_mean=0.0,
-                   energy_std=0.0, bucket_single=False):
+                   energy_std=0.0, bucket_single=False, data_parallel=1):
         """Build from in-memory objects (no checkpoint files): for tests
         and for embedding the engine next to a training loop (e.g. sample
         from params mid-fine-tune). `params` should already contain or be
@@ -97,13 +98,14 @@ class Synthesizer:
                     token_dur_scaling=token_dur_scaling,
                     token_duration_max=token_duration_max, f0_mean=f0_mean,
                     f0_std=f0_std, energy_mean=energy_mean,
-                    energy_std=energy_std, bucket_single=bucket_single)
+                    energy_std=energy_std, bucket_single=bucket_single,
+                    data_parallel=data_parallel)
         return self
 
     def _setup(self, model_config, params, vocoder, denoiser, *, encode_fn,
                speaker_id_fn, sampling_rate, hop_length, use_amp, seed,
                token_dur_scaling, token_duration_max, f0_mean, f0_std,
-               energy_mean, energy_std, bucket_single):
+               energy_mean, energy_std, bucket_single, data_parallel=1):
         self.model_config = model_config
         self.sampling_rate = sampling_rate
         self.hop_length = hop_length
@@ -119,12 +121,45 @@ class Synthesizer:
         # programs instead of one per distinct length. Off by default —
         # the file CLI keeps exact single-item shapes.
         self.bucket_single = bucket_single
+        # data_parallel=N: shard the request batch over an N-device 'data'
+        # mesh (weights replicated) — the serving-scale deployment path
+        # proven by tests/test_parallel.py::test_dp_inference_matches_
+        # single_device, now user-launchable (inference.py/serve.py
+        # --data_parallel). Batches pad to a multiple of N by repeating
+        # the last item (padding changes sampling draws for non-multiple
+        # batches — acceptable for stochastic synthesis; exact batches
+        # are bit-identical to data_parallel=1).
+        self.data_parallel = int(data_parallel)
+        if self.data_parallel > 1:
+            from radtts_tpu.parallel.mesh import make_mesh
+            devs = jax.devices()
+            if len(devs) < self.data_parallel:
+                raise ValueError(
+                    f"data_parallel={self.data_parallel} but only "
+                    f"{len(devs)} devices are visible")
+            self.mesh = make_mesh(n_data=self.data_parallel, n_model=1,
+                                  devices=devs[:self.data_parallel])
+            self._dp_sharding = NamedSharding(self.mesh, P("data"))
+            self._repl = NamedSharding(self.mesh, P())
+            vocoder = jax.device_put(vocoder, self._repl)
+            denoiser = jax.device_put(denoiser, self._repl)
+        else:
+            self.mesh = self._dp_sharding = self._repl = None
         self.vocoder, self.denoiser = vocoder, denoiser
         self.params = precompute_inverses(params)
+        if self._repl is not None:
+            self.params = jax.device_put(self.params, self._repl)
         self._encode_fn = encode_fn
         self._speaker_id_fn = speaker_id_fn
         self.rng = jax.random.PRNGKey(seed)
         self._dur_fn = jax.jit(self._durations)
+
+    def _put(self, x):
+        """Shard a batch-leading array over the data mesh (identity when
+        data_parallel == 1)."""
+        if self._dp_sharding is None:
+            return x
+        return jax.device_put(x, self._dp_sharding)
 
     # --- text / speakers -------------------------------------------------
     def encode(self, text):
@@ -181,21 +216,26 @@ class Synthesizer:
         if isinstance(texts, str):
             texts = [texts]
         encs = [self.encode(t) for t in texts]
+        B_real = len(encs)
+        if self.data_parallel > 1 and B_real % self.data_parallel:
+            encs = encs + [encs[-1]] * (
+                self.data_parallel - B_real % self.data_parallel)
         lens = np.array([len(e) for e in encs], np.int32)
         B = len(encs)
         if B == 1 and not self.bucket_single:
             N, lens_arg = int(lens[0]), None
         else:
             N = ((int(lens.max()) + 15) // 16) * 16
-            lens_arg = jnp.asarray(lens)
+            lens_arg = self._put(jnp.asarray(lens))
         text_b = np.zeros((B, N), np.int64)
         for j, e in enumerate(encs):
             text_b[j, : len(e)] = e
-        text_b = jnp.asarray(text_b)
+        text_b = self._put(jnp.asarray(text_b))
 
         def spk_arr(name, default):
             sid = default if name is None else self.speaker_id(name)
-            return jnp.broadcast_to(jnp.asarray(np.array([sid])), (B,))
+            return self._put(
+                jnp.broadcast_to(jnp.asarray(np.array([sid])), (B,)))
 
         sid = self.speaker_id(speaker)
         spk = spk_arr(None, sid)
@@ -219,11 +259,12 @@ class Synthesizer:
             jnp.float32(denoising_strength))
         audio = np.asarray(audio)
         wavs = [audio[j, : int(totals[j]) * self.hop_length] if trim
-                else audio[j] for j in range(B)]
-        aux = {"dur": np.asarray(dur), "n_frames": totals}
+                else audio[j] for j in range(B_real)]
+        aux = {"dur": np.asarray(dur)[:B_real],
+               "n_frames": totals[:B_real]}
         for k in ("f0", "energy_avg"):  # absent on attribute-less configs
             if k in out:
-                aux[k] = np.asarray(out[k])
+                aux[k] = np.asarray(out[k])[:B_real]
         return wavs, aux
 
     def synthesize_long(self, text, speaker, *, max_tokens, gap_ms=120.0,

@@ -158,6 +158,9 @@ def main():
                     help="default sentence-chunking token budget for "
                          "single-text requests (0 = off)")
     ap.add_argument("--chunk_gap_ms", default=120.0, type=float)
+    ap.add_argument("--data_parallel", default=1, type=int,
+                    help="shard request batches over this many devices "
+                         "(weights replicated)")
     ap.add_argument("--use_amp", action="store_true")
     ap.add_argument("--matmul_precision", default=None,
                     choices=["default", "high", "highest"])
@@ -197,7 +200,7 @@ def main():
         # single texts pad to the batch path's 16-token buckets (padded ==
         # exact) so a long-running server compiles a BOUNDED set of
         # text-length programs, not one per distinct request length
-        bucket_single=True)
+        bucket_single=True, data_parallel=args.data_parallel)
     print(f"[serve] loaded '{args.radtts_path}'", flush=True)
 
     defaults = {"sigma": args.sigma, "sigma_tkndur": args.sigma_tkndur,

@@ -331,3 +331,42 @@ def test_dp_inference_matches_single_device():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(audio4), np.asarray(audio1),
                                rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_synthesizer_data_parallel_matches_single():
+    """User-launchable DP serving (`--data_parallel`): a Synthesizer built
+    with data_parallel=4 must reproduce the data_parallel=1 waveforms for
+    an exact-multiple batch (same seed => identical draws), and a
+    non-multiple batch pads by repeating the last item but returns only
+    the requested wavs."""
+    from radtts_tpu.models.hifigan import (denoiser_init,
+                                           hifigan_generator_init)
+    from radtts_tpu.models.radtts import radtts_init
+    from radtts_tpu.synthesizer import Synthesizer
+    from tests.small_model import MODEL_CONFIG
+    from tests.test_synthesizer import H_SMALL, _encode
+
+    cfg = dict(MODEL_CONFIG, n_mel_channels=80)
+    params = radtts_init(jax.random.PRNGKey(0), cfg)
+    voc = hifigan_generator_init(jax.random.PRNGKey(1), H_SMALL)
+    den = denoiser_init(voc)
+
+    def mk(dp):
+        return Synthesizer.from_parts(
+            cfg, params, voc, den, encode_fn=_encode,
+            speaker_id_fn=lambda name: 0, seed=11, data_parallel=dp)
+
+    texts = ["An exact multiple batch.", "Second line to speak.",
+             "Third line of text here.", "Fourth and final line."]
+    w1, a1 = mk(1).synthesize(texts, "spk", denoising_strength=0.01)
+    s4 = mk(4)
+    w4, a4 = s4.synthesize(texts, "spk", denoising_strength=0.01)
+    np.testing.assert_array_equal(a4["dur"], a1["dur"])
+    for x, y in zip(w4, w1):
+        np.testing.assert_allclose(x, y, rtol=1e-3, atol=1e-4)
+
+    # non-multiple batch: B pads 3 -> 4 (repeat last); exactly 3 wavs back
+    w3, a3 = s4.synthesize(texts[:3], "spk")
+    assert len(w3) == 3 and a3["dur"].shape[0] == 3
+    assert all(len(w) > 0 for w in w3)
