@@ -106,49 +106,43 @@ _LAST = os.path.join(_REPO, ".bench_last.json")
 
 def _backend_reachable(timeout_s=120.0):
     """Initializing the tunneled backend HANGS (not errors) when the
-    tunnel is down — probe on a daemon thread; it can also error fast
-    (UNAVAILABLE when the tunnel actively refuses) — catch and return."""
-    import threading
-    out = []
+    tunnel is down, and can also error fast (UNAVAILABLE when the tunnel
+    actively refuses). One shared timed probe lives in __graft_entry__
+    (its diagnostics go to stderr; stdout stays the one JSON line)."""
+    from __graft_entry__ import _backend_device_count
+    return _backend_device_count(timeout_s) > 0
 
-    def probe():
+
+def _load_stale_prior():
+    """Last successful result, CLEARLY LABELED stale. Read order: this
+    machine's own last run (gitignored), then the committed
+    .bench_baseline.json snapshot (survives a fresh checkout)."""
+    for prior_path in (_LAST, os.path.join(_REPO, ".bench_baseline.json")):
         try:
-            out.append(len(jax.devices()) > 0)
-        except Exception as exc:
-            _log(f"backend probe failed: {exc}")
-            out.append(False)
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    waited = 0.0
-    while waited < timeout_s and not out:
-        t.join(0.5)
-        waited += 0.5
-    return bool(out) and out[0]
+            with open(prior_path) as f:
+                prior = json.load(f)
+            prior["method"] = prior.get("method", "") + "|stale_prior_run"
+            return prior, prior_path
+        except Exception:
+            continue
+    return None, None
 
 
 def run_bench(state, deadline):
+    # Seed the result with the stale prior BEFORE anything that can hang:
+    # the chip is unreachable during multi-hour tunnel outages and the
+    # reachability probe itself costs up to its full timeout — if the
+    # driver's budget expires mid-probe the watchdog must still have
+    # something honest to print. Any fresh measurement overwrites this.
+    prior, prior_path = _load_stale_prior()
+    if prior is not None:
+        state["best"] = prior
+        _log(f"stale prior preloaded from {prior_path}: {prior}")
     if not _backend_reachable():
-        # The chip is unreachable (observed: multi-hour tunnel outages).
-        # A fresh measurement is impossible; emit the last successful one
-        # CLEARLY LABELED as stale rather than nothing. Read order: this
-        # machine's own last run (gitignored), then the committed
-        # .bench_baseline.json snapshot (survives a fresh checkout).
-        for prior_path in (_LAST, os.path.join(_REPO,
-                                               ".bench_baseline.json")):
-            try:
-                with open(prior_path) as f:
-                    prior = json.load(f)
-                prior["method"] = (prior.get("method", "")
-                                   + "|stale_prior_run")
-                state["best"] = prior
-                _log(f"backend unreachable; emitting stale prior from "
-                     f"{prior_path}: {prior}")
-                break
-            except Exception:
-                continue
-        else:
+        if prior is None:
             _log("backend unreachable and no prior result recorded")
+        else:
+            _log("backend unreachable; emitting the stale prior")
         state["done"] = True
         return
     from __graft_entry__ import _flagship_model_config

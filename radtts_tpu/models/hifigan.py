@@ -266,8 +266,12 @@ def hifigan_generator_apply(params, mel, *, mrf_impl="auto"):
     when the architecture matches the standard (3,7,11)x(1,3,5) ResBlock1
     MRF — measured 1.7-2.3x per stage on v5e."""
     if mrf_impl == "auto":
+        # jax_default_device may hold a Device OR a platform string
+        # (jax.default_device accepts both)
         dd = jax.config.jax_default_device
-        platform = dd.platform if dd is not None else jax.default_backend()
+        platform = (dd if isinstance(dd, str)
+                    else dd.platform if dd is not None
+                    else jax.default_backend())
         mrf_impl = "pallas" if platform == "tpu" else "xla"
     meta = params["_meta"]
     rates = meta["upsample_rates"]

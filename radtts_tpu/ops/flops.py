@@ -31,10 +31,11 @@ def _conv_flops(eqn):
     out = eqn.outvars[0].aval
     rhs = eqn.invars[1].aval
     dn = eqn.params["dimension_numbers"]
-    groups = eqn.params.get("feature_group_count", 1)
     k_spatial = math.prod(rhs.shape[d] for d in dn.rhs_spec[2:])
-    c_in = rhs.shape[dn.rhs_spec[1]]  # per-group input channels
-    return 2 * math.prod(out.shape) * c_in * k_spatial // max(groups, 1)
+    # rhs input-channel dim is ALREADY per-group (C_in/groups), so each
+    # output element costs 2*c_in*k FLOPs with no further group division
+    c_in = rhs.shape[dn.rhs_spec[1]]
+    return 2 * math.prod(out.shape) * c_in * k_spatial
 
 
 def _sub_jaxprs(eqn):

@@ -19,8 +19,6 @@ the model (radtts.py's reference semantics), so they are fixed at
 construction; vary them by building another Synthesizer.
 """
 
-import functools
-
 import numpy as np
 
 import jax
@@ -153,6 +151,10 @@ class Synthesizer:
         self._speaker_id_fn = speaker_id_fn
         self.rng = jax.random.PRNGKey(seed)
         self._dur_fn = jax.jit(self._durations)
+        # per-instance decode-program cache (NOT functools.lru_cache on the
+        # method: a class-level cache keyed on `self` would pin every
+        # discarded Synthesizer's params + executables for process life)
+        self._decode_cache = {}
 
     def _put(self, x):
         """Shard a batch-leading array over the data mesh (identity when
@@ -178,8 +180,11 @@ class Synthesizer:
                 token_duration_max=self.token_duration_max,
                 in_lens=in_lens)
 
-    @functools.lru_cache(maxsize=32)
     def _decode_fn(self, max_frames):
+        cached = self._decode_cache.get(max_frames)
+        if cached is not None:
+            return cached
+
         def fn(params, vocoder, denoiser, rng, spk, spk_attr, text_ids,
                dur, in_lens, sigma, sigma_f0, sigma_energy, denoise):
             with _amp.scope(self.use_amp):
@@ -198,7 +203,9 @@ class Synthesizer:
             audio = hifigan_generator_apply(vocoder, mel)
             audio = denoiser_apply(denoiser, audio, strength=denoise)
             return out, audio
-        return jax.jit(fn)
+        jitted = jax.jit(fn)
+        self._decode_cache[max_frames] = jitted
+        return jitted
 
     # --- public ------------------------------------------------------------
     def synthesize(self, texts, speaker, *, speaker_text=None,

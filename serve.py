@@ -111,8 +111,10 @@ def make_handler(synth, state, defaults, lock):
                     else:
                         wavs, aux = synth.synthesize(texts, speaker,
                                                      **knobs)
+                    # inside the lock: ThreadingHTTPServer handlers run
+                    # concurrently and += on shared state is not atomic
+                    state["requests"] += 1
                 dt = time.perf_counter() - tic
-                state["requests"] += 1
                 audio_s = sum(len(w) for w in wavs) / synth.sampling_rate
                 print(f"[serve] {len(texts)} text(s) -> {audio_s:.2f}s "
                       f"audio in {dt:.3f}s (RTF {dt / max(audio_s, 1e-9):.4f})",
