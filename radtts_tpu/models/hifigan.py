@@ -261,10 +261,14 @@ def hifigan_generator_apply(params, mel, *, mrf_impl="auto"):
     """mel: (B, T, 80) -> waveform (B, T * prod(upsample_rates)).
 
     mrf_impl: "auto" (default — the fused Pallas kernel on TPU, plain XLA
-    elsewhere), "xla", or "pallas". The Pallas route sends each narrow
-    (C<=128) upsample stage's resblock stack through ops/pallas_mrf.py
-    when the architecture matches the standard (3,7,11)x(1,3,5) ResBlock1
-    MRF — measured 1.7-2.3x per stage on v5e."""
+    elsewhere), "xla", "pallas", or "fold". The Pallas route sends each
+    narrow (C<=128) upsample stage's resblock stack through
+    ops/pallas_mrf.py when the architecture matches the standard
+    (3,7,11)x(1,3,5) ResBlock1 MRF — measured 1.7-2.3x per stage on v5e.
+    "fold" runs the C<=64 stages as time-folded block-banded convs
+    (ops/folded_conv.py: F consecutive frames packed into channels so the
+    MXU sees 128-wide matmuls instead of 32x32) — exact to rounding,
+    pending on-chip A/B (scripts/ab_mrf_fold.py)."""
     if mrf_impl == "auto":
         # jax_default_device may hold a Device OR a platform string
         # (jax.default_device accepts both)
@@ -284,6 +288,11 @@ def hifigan_generator_apply(params, mel, *, mrf_impl="auto"):
     if use_pallas:
         from radtts_tpu.ops.pallas_mrf import (mrf_weights_from_params,
                                                pallas_mrf)
+    use_fold = mrf_impl == "fold" and is_rb1
+    if use_fold:
+        from radtts_tpu.ops.folded_conv import (fold_time,
+                                                resblock1_apply_folded,
+                                                unfold_time)
 
     x = conv1d_apply(params["conv_pre"], mel, padding=3)
     for i, (u, k) in enumerate(zip(rates, kernels)):
@@ -306,6 +315,16 @@ def hifigan_generator_apply(params, mel, *, mrf_impl="auto"):
             from radtts_tpu.ops.pallas_mrf import pallas_mrf_wide
             x = pallas_mrf_wide(x, mrf_weights_from_params(
                 params["resblocks"][i]))
+            continue
+        C, T = x.shape[-1], x.shape[1]
+        if use_fold and C <= 64 and 128 % C == 0 and T % (128 // C) == 0:
+            F = 128 // C
+            X = fold_time(x, F)
+            Xs = jnp.zeros_like(X)
+            for j, block in enumerate(params["resblocks"][i]):
+                Xs = Xs + resblock1_apply_folded(block, X, rk[j], rd[j], F,
+                                                 lrelu_slope=LRELU_SLOPE)
+            x = unfold_time(Xs / len(rk), F)
             continue
         xs = jnp.zeros_like(x)
         for j, block in enumerate(params["resblocks"][i]):

@@ -1,0 +1,58 @@
+"""Time-folded conv exactness: folding F frames into channels
+(ops/folded_conv.py) must reproduce the plain conv / the plain-XLA MRF
+stages to float rounding — the folded weights add only exact-zero blocks."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.mark.parametrize("k,d,C,F", [
+    (3, 1, 32, 4), (3, 5, 32, 4), (7, 3, 32, 4), (11, 5, 32, 4),
+    (3, 1, 64, 2), (11, 5, 64, 2), (7, 1, 16, 8), (5, 2, 32, 3),
+])
+def test_folded_conv_matches_plain(k, d, C, F):
+    from radtts_tpu.ops.conv import conv1d_apply
+    from radtts_tpu.ops.folded_conv import (fold_conv_weights,
+                                            fold_time, folded_conv_apply,
+                                            unfold_time)
+
+    pad = (k * d - d) // 2
+    r = np.random.default_rng(k * 100 + d * 10 + F)
+    T = 24 * F
+    x = jnp.asarray(r.standard_normal((2, T, C)).astype(np.float32))
+    w = jnp.asarray((r.standard_normal((k, C, C)) * 0.3).astype(np.float32))
+    b = jnp.asarray(r.standard_normal((C,)).astype(np.float32))
+
+    ref = conv1d_apply({"w": w, "b": b}, x, padding=pad, dilation=d)
+    fw, fb, fpad = fold_conv_weights(w, b, pad, d, F)
+    got = unfold_time(folded_conv_apply(fw, fb, fpad, fold_time(x, F)), F)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_generator_fold_matches_xla():
+    from radtts_tpu.models.hifigan import (hifigan_generator_apply,
+                                           hifigan_generator_init)
+
+    H = {"resblock": "1",
+         "upsample_rates": [8, 8, 2, 2],
+         "upsample_kernel_sizes": [16, 16, 4, 4],
+         "upsample_initial_channel": 128,  # stages C=64,32,16,8: all fold
+         "resblock_kernel_sizes": [3, 7, 11],
+         "resblock_dilation_sizes": [[1, 3, 5]] * 3}
+    voc = hifigan_generator_init(jax.random.PRNGKey(0), H)
+    r = np.random.default_rng(1)
+    mel = jnp.asarray(r.standard_normal((2, 32, 80)).astype(np.float32))
+
+    a = jax.jit(lambda v, m: hifigan_generator_apply(v, m,
+                                                     mrf_impl="xla"))(voc,
+                                                                      mel)
+    f = jax.jit(lambda v, m: hifigan_generator_apply(v, m,
+                                                     mrf_impl="fold"))(voc,
+                                                                       mel)
+    assert a.shape == f.shape
+    np.testing.assert_allclose(np.asarray(f), np.asarray(a),
+                               rtol=1e-4, atol=1e-5)
