@@ -45,8 +45,6 @@ import time
 import numpy as np
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(_REPO, ".jax_cache"))
 # The remote compile service drops very large programs (the 8x-unrolled
 # recurrence bodies); unroll=1 compiles reliably and costs ~5% steady-state
 # on the decode stage. Training keeps its own default.
@@ -56,10 +54,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+from radtts_tpu.compile_cache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache(
+    default_path=os.path.join(_REPO, ".jax_cache"), cache_everything=True)
 
 TARGET_RTF = 0.01
 SR = 22050

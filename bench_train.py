@@ -34,16 +34,14 @@ import time
 import numpy as np
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(_REPO, ".jax_cache"))
 
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+from radtts_tpu.compile_cache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache(
+    default_path=os.path.join(_REPO, ".jax_cache"), cache_everything=True)
 
 B, N, T = 16, 112, 512  # LJS-typical: ~5.9 s of audio per item
 

@@ -105,6 +105,24 @@ def infer(radtts_path, vocoder_path, vocoder_config_path, text_path,
                                "sigmaf0{}_sigmaenergy{}").format(
                     i, take, speaker, token_dur_scaling, sigma,
                     sigma_tkndur, sigma_f0, sigma_energy)
+                if plot:
+                    # per part, BEFORE the join gate below skips this
+                    # iteration: a chunked line gets one features PNG per
+                    # chunk (aux rows are per-chunk), named _partK
+                    import matplotlib
+                    matplotlib.use("Agg")
+                    import matplotlib.pylab as plt
+                    fig, axes = plt.subplots(2, 1, figsize=(10, 6))
+                    axes[0].plot(aux["f0"][j], label="f0")
+                    axes[1].plot(aux["energy_avg"][j], label="energy_avg")
+                    for ax in axes:
+                        ax.legend(loc="best")
+                    plt.tight_layout()
+                    part_tag = f"_part{p + 1}" if n_parts > 1 else ""
+                    fig.savefig(f"{output_dir}/{suffix_path}{part_tag}"
+                                "_features.png")
+                    plt.close("all")
+
                 if n_parts > 1:
                     # collect chunked-line parts; join + normalize once
                     parts = pending.setdefault((i, take), [None] * n_parts)
@@ -120,19 +138,6 @@ def infer(radtts_path, vocoder_path, vocoder_config_path, text_path,
                 write("{}/{}_denoised_{}.wav".format(
                     output_dir, suffix_path, denoising_strength), sr,
                     wav.astype(np.float32))
-
-                if plot:
-                    import matplotlib
-                    matplotlib.use("Agg")
-                    import matplotlib.pylab as plt
-                    fig, axes = plt.subplots(2, 1, figsize=(10, 6))
-                    axes[0].plot(aux["f0"][j], label="f0")
-                    axes[1].plot(aux["energy_avg"][j], label="energy_avg")
-                    for ax in axes:
-                        ax.legend(loc="best")
-                    plt.tight_layout()
-                    fig.savefig(f"{output_dir}/{suffix_path}_features.png")
-                    plt.close("all")
 
 
 if __name__ == "__main__":

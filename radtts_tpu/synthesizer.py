@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from radtts_tpu.data.dataset import Data
+from radtts_tpu.data.dataset import data_factory
 from radtts_tpu.models.hifigan import (denoiser_apply,
                                        hifigan_generator_apply)
 from radtts_tpu.models.radtts import (infer_durations, radtts_infer,
@@ -58,11 +58,9 @@ class Synthesizer:
                                                params)
 
         # dataset object only for the speaker-id table + text encoding
-        # (reference inference.py:100-110 does the same)
-        ignore = ("training_files", "validation_files")
-        self.trainset = Data(data_config["training_files"],
-                             **{k: v for k, v in data_config.items()
-                                if k not in ignore})
+        # (reference inference.py:100-110 does the same); same construction
+        # path as the training loader's worker processes
+        self.trainset = data_factory(data_config, "training_files")
         self._setup(
             model_config, params, vocoder, denoiser,
             encode_fn=lambda t: np.asarray(self.trainset.get_text(t)),
@@ -151,10 +149,15 @@ class Synthesizer:
         self._speaker_id_fn = speaker_id_fn
         self.rng = jax.random.PRNGKey(seed)
         self._dur_fn = jax.jit(self._durations)
-        # per-instance decode-program cache (NOT functools.lru_cache on the
+        # per-instance decode-program LRU (NOT functools.lru_cache on the
         # method: a class-level cache keyed on `self` would pin every
-        # discarded Synthesizer's params + executables for process life)
-        self._decode_cache = {}
+        # discarded Synthesizer's params + executables for process life).
+        # Bounded: a long-running server sees a new frame budget per
+        # distinct duration bucket, and each entry pins a compiled
+        # decode+vocoder executable.
+        from collections import OrderedDict
+        self._decode_cache = OrderedDict()
+        self._decode_cache_max = 32
 
     def _put(self, x):
         """Shard a batch-leading array over the data mesh (identity when
@@ -183,6 +186,7 @@ class Synthesizer:
     def _decode_fn(self, max_frames):
         cached = self._decode_cache.get(max_frames)
         if cached is not None:
+            self._decode_cache.move_to_end(max_frames)
             return cached
 
         def fn(params, vocoder, denoiser, rng, spk, spk_attr, text_ids,
@@ -205,6 +209,8 @@ class Synthesizer:
             return out, audio
         jitted = jax.jit(fn)
         self._decode_cache[max_frames] = jitted
+        if len(self._decode_cache) > self._decode_cache_max:
+            self._decode_cache.popitem(last=False)
         return jitted
 
     # --- public ------------------------------------------------------------

@@ -11,21 +11,51 @@ space/BOS/EOS wrapping and synthesizes exactly like a short line.
 
 import re
 
-# sentence enders kept with their sentence; also split on ; and :
-_SENTENCE_RE = re.compile(r"[^.!?;:]*[.!?;:]+(?:\s+|$)|[^.!?;:]+$")
+# sentence boundary = enders followed by whitespace (or end of text);
+# '12:30', '3.14', 'example.com' are NOT boundaries
+_BOUNDARY_RE = re.compile(r"[.!?;:]+(?=\s|$)")
 
 
 def split_sentences(text):
     """Split into sentence-ish pieces, each keeping its trailing
-    punctuation; whitespace between pieces is dropped."""
-    pieces = [m.group(0).strip() for m in _SENTENCE_RE.finditer(text)]
+    punctuation; whitespace between pieces is dropped. Implemented by
+    slicing BETWEEN boundary matches so every character of `text` lands in
+    exactly one piece — a match-the-pieces regex can silently drop spans
+    around mid-token punctuation ('12:30', '3.14')."""
+    pieces, start = [], 0
+    for m in _BOUNDARY_RE.finditer(text):
+        pieces.append(text[start:m.end()].strip())
+        start = m.end()
+    pieces.append(text[start:].strip())
     return [p for p in pieces if p]
+
+
+def _split_word(word, encode_len, max_tokens):
+    """Last resort for a single word whose encoding exceeds max_tokens
+    (URL, run-on string): greedy character-level split so the documented
+    <= max_tokens contract holds for any input."""
+    parts, cur = [], ""
+    for ch in word:
+        if cur and encode_len(cur + ch) > max_tokens:
+            parts.append(cur)
+            cur = ch
+        else:
+            cur += ch
+    if cur:
+        parts.append(cur)
+    return parts
 
 
 def _split_words(piece, encode_len, max_tokens):
     """Fallback for a single sentence longer than max_tokens: greedy-pack
-    words."""
-    words = piece.split()
+    words (character-splitting any single word that alone exceeds the
+    budget)."""
+    words = []
+    for w in piece.split():
+        if encode_len(w) > max_tokens:
+            words.extend(_split_word(w, encode_len, max_tokens))
+        else:
+            words.append(w)
     chunks, cur = [], []
     for w in words:
         cand = " ".join(cur + [w])

@@ -129,3 +129,25 @@ def test_long_text_chunking():
     chunks = split_text_to_chunks(long_sentence, encode_len, 50)
     assert all(encode_len(c) <= 50 for c in chunks)
     assert " ".join(chunks) == long_sentence
+
+    # mid-token punctuation ('12:30', '3.14', URLs) is NOT a boundary and
+    # must never drop text (regression: the old match-the-pieces regex
+    # returned ['30 tomorrow.'] for the first of these)
+    assert split_sentences("Meet at 12:30 tomorrow.") == [
+        "Meet at 12:30 tomorrow."]
+    assert split_sentences("Pi is 3.14 exactly. Then more.") == [
+        "Pi is 3.14 exactly.", "Then more."]
+    assert split_sentences("See example.com for details") == [
+        "See example.com for details"]
+    text = "Meet at 12:30. Pi is 3.14 and e is 2.71! See example.com now."
+    chunks = split_text_to_chunks(text, encode_len, 30)
+    assert " ".join(chunks) == text
+    assert all(encode_len(c) <= 30 for c in chunks)
+
+    # a single word over the whole budget is character-split, keeping the
+    # <= max_tokens contract (the frame budget downstream depends on it)
+    url = "https://example.com/" + "a" * 60
+    chunks = split_text_to_chunks("Read " + url + " now.", encode_len, 24)
+    assert all(encode_len(c) <= 24 for c in chunks)
+    assert "".join(chunks).replace(" ", "") == ("Read " + url
+                                                + " now.").replace(" ", "")
