@@ -48,7 +48,8 @@ def test_serve_daemon(tmp_path):
     proc = subprocess.Popen(
         [sys.executable, "serve.py", "-c", str(cfg_path),
          "-r", str(radtts_ckpt), "-v", str(voc_ckpt), "-k", str(voc_cfg),
-         "-s", "ljs", "--port", str(port), "--seed", "7", "--warm"],
+         "-s", "ljs", "--port", str(port), "--seed", "7", "--warm",
+         "--batch_wait_ms", "400"],
         stdout=log, stderr=subprocess.STDOUT, text=True, env=env)
     base = f"http://127.0.0.1:{port}"
     try:
@@ -130,7 +131,40 @@ def test_serve_daemon(tmp_path):
         except urllib.error.HTTPError as e:
             assert e.code == 400
         with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
-            assert json.loads(r.read())["requests"] == 4
+            health = json.loads(r.read())
+        assert health["requests"] == 4
+        prior_dispatches = health["batched_dispatches"]
+
+        # micro-batching: three concurrent same-key single requests within
+        # the 400 ms window must ride FEWER dispatches than requests
+        # (normally exactly one B=3 dispatch; allow one straggler)
+        import threading
+        results = [None] * 3
+
+        def fire(ix):
+            try:
+                results[ix] = post("/tts", {
+                    "text": "The quick brown fox jumps over the lazy dog."})
+            except Exception as exc:  # surface in the main thread
+                results[ix] = exc
+
+        threads = [threading.Thread(target=fire, args=(ix,))
+                   for ix in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=1500)
+        for res in results:
+            assert not isinstance(res, Exception), res
+            ctype_c, body_c = res
+            assert ctype_c == "audio/wav"
+            src, audc = _wav_from_bytes(body_c)
+            assert np.isfinite(audc).all() and np.abs(audc).max() > 1e-4
+        with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["requests"] == 7
+        n_disp = health["batched_dispatches"] - prior_dispatches
+        assert 1 <= n_disp <= 2, n_disp
     finally:
         proc.terminate()
         try:
