@@ -388,7 +388,7 @@ def train(config, output_directory, epochs, optim_algo, learning_rate,
     print (reference: train.py:383,424-427)."""
     import hashlib
 
-    from radtts_tpu.data.dataset import Data, DataCollate, DataLoader
+    from radtts_tpu.data.dataset import DataCollate, DataLoader
 
     data_config = config["data_config"]
     model_config = config["model_config"]
@@ -468,20 +468,15 @@ def train(config, output_directory, epochs, optim_algo, learning_rate,
         eval_step = MultiHostStepRunner(eval_step, "eval_step",
                                         sig_argnums=(1,))
 
-    ignore_keys = ["training_files", "validation_files"]
-    trainset = Data(data_config["training_files"],
-                    **{k: v for k, v in data_config.items()
-                       if k not in ignore_keys})
-    valset = Data(data_config["validation_files"],
-                  **{k: v for k, v in data_config.items()
-                     if k not in ignore_keys},
-                  speaker_ids=trainset.speaker_ids)
+    from radtts_tpu.data.dataset import data_factory
+    trainset = data_factory(data_config, "training_files")
+    valset = data_factory(data_config, "validation_files",
+                          trainset.speaker_ids)
     collate_fn = DataCollate()
     # num_worker_procs > 0: fetch samples in worker PROCESSES (reference
     # uses 8, train.py:151-154) — first-epoch pyin cache misses are
     # GIL-bound, so threads alone cannot parallelize a cold epoch
     num_worker_procs = int(kwargs.get("num_worker_procs", 0))
-    from radtts_tpu.data.dataset import data_factory
     train_loader = DataLoader(
         trainset, batch_size, collate_fn, shuffle=True, seed=seed,
         rank=process_rank, world_size=n_process,
