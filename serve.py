@@ -21,7 +21,10 @@ API (stdlib http.server; no new dependencies):
 A single "text" with "long_text_chunk" > 0 is split at sentence
 boundaries into chunks of that many encoded tokens (the CLI's
 --long_text_chunk), synthesized as one batched dispatch, and the chunk
-waveforms joined with chunk_gap_ms of silence — one WAV out.
+waveforms joined with chunk_gap_ms of silence — one WAV out. Adding
+"stream": true instead streams the WAV over HTTP chunked transfer: the
+first chunk dispatches alone for minimum time-to-first-audio, the rest
+ride one batched dispatch (normalization is then per chunk).
 
 Request sigmas/denoising are device scalars in the jitted stages (see
 radtts_tpu/synthesizer.py): changing them NEVER recompiles. New (batch,
@@ -101,6 +104,16 @@ class MicroBatcher:
                 e[4]["ev"].set()
 
 
+def _streaming_wav_header(sr):
+    """44-byte IEEE-float mono WAV header with 0xFFFFFFFF sizes — the
+    standard convention for streams whose length is unknown up front
+    (players read until EOF)."""
+    import struct
+    return (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 3, 1, sr, sr * 4, 4, 32)
+            + b"data" + struct.pack("<I", 0xFFFFFFFF))
+
+
 def make_handler(synth, state, defaults, lock, batcher=None):
     from http.server import BaseHTTPRequestHandler
 
@@ -130,6 +143,65 @@ def make_handler(synth, state, defaults, lock, batcher=None):
 
         def _reply_json(self, code, obj):
             self._reply(code, json.dumps(obj).encode())
+
+        def _stream_long(self, text, speaker, max_tokens, gap_ms, knobs,
+                         normalize):
+            """Stream a long text as WAV over HTTP chunked transfer: the
+            first sentence chunk synthesizes alone (smallest possible
+            time-to-first-audio), the rest ride one batched dispatch.
+            Normalization is per chunk (a global peak needs the whole
+            signal). After headers are sent an error can only abort the
+            stream — it is logged, not replied."""
+            from radtts_tpu.text.chunking import split_text_to_chunks
+
+            parts = ([text] if max_tokens <= 0 else split_text_to_chunks(
+                text, lambda s: len(synth.encode(s)), max_tokens))
+            sr = synth.sampling_rate
+            gap = np.zeros(int(sr * gap_ms / 1000.0), np.float32)
+
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def emit(b):
+                if b:
+                    self.wfile.write(f"{len(b):X}\r\n".encode() + b
+                                     + b"\r\n")
+
+            def pcm(w):
+                if normalize:
+                    peak = float(np.max(np.abs(w)))
+                    if peak > 0:
+                        w = w / peak
+                return np.asarray(w, np.float32).astype("<f4").tobytes()
+
+            try:
+                emit(_streaming_wav_header(sr))
+                tic = time.perf_counter()
+                with lock:
+                    first, _ = synth.synthesize(parts[0], speaker, **knobs)
+                    state["requests"] += 1
+                emit(pcm(first[0]))
+                ttfa = time.perf_counter() - tic
+                if len(parts) > 1:
+                    emit(gap.tobytes())
+                    with lock:
+                        rest, _ = synth.synthesize(parts[1:], speaker,
+                                                   **knobs)
+                    for j, w in enumerate(rest):
+                        emit(pcm(w))
+                        if j < len(rest) - 1:
+                            emit(gap.tobytes())
+                self.wfile.write(b"0\r\n\r\n")
+                print(f"[serve] streamed {len(parts)} chunk(s), "
+                      f"first audio after {ttfa:.3f}s", flush=True)
+            except Exception as exc:
+                print(f"[serve] stream aborted: {exc!r}", flush=True)
+                try:
+                    self.wfile.write(b"0\r\n\r\n")
+                except Exception:
+                    pass
 
         def do_GET(self):
             if self.path in ("/healthz", "/"):
@@ -161,6 +233,13 @@ def make_handler(synth, state, defaults, lock, batcher=None):
                                        defaults["chunk_gap_ms"]))
             except Exception as exc:
                 self._reply_json(400, {"error": repr(exc)})
+                return
+            if bool(req.get("stream", False)) and single:
+                # time-to-first-audio mode: chunk 1 dispatches ALONE and
+                # starts streaming while the remaining chunks run as one
+                # batch; WAV bytes go out via HTTP chunked transfer
+                self._stream_long(texts[0], speaker, chunk_tokens, gap_ms,
+                                  knobs, normalize)
                 return
             try:
                 tic = time.perf_counter()

@@ -121,6 +121,24 @@ def test_serve_daemon(tmp_path):
         # either chunk alone could be, and contains a silent stretch
         assert len(audiol) > int(srl * 0.05)
 
+        # streaming: chunked-transfer WAV, first chunk dispatched alone;
+        # urllib decodes the chunked framing, leaving header + raw PCM
+        req = urllib.request.Request(
+            base + "/tts", data=json.dumps({
+                "text": "First sentence here. Second sentence follows!",
+                "long_text_chunk": 24, "chunk_gap_ms": 50.0,
+                "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=900) as r:
+            assert r.headers.get("Content-Type") == "audio/wav"
+            stream_body = r.read()
+        assert stream_body[:4] == b"RIFF" and stream_body[8:12] == b"WAVE"
+        pcm = np.frombuffer(stream_body[44:], dtype="<f4")
+        assert np.isfinite(pcm).all() and np.abs(pcm).max() > 1e-4
+        # carries the 50 ms inter-chunk gap of exact silence
+        assert len(pcm) > int(22050 * 0.05)
+        assert (pcm == 0.0).sum() >= int(22050 * 0.05)
+
         # error path: bad request gets 400, not a dead server
         req = urllib.request.Request(
             base + "/tts", data=b'{"no_text": 1}',
@@ -132,7 +150,7 @@ def test_serve_daemon(tmp_path):
             assert e.code == 400
         with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
             health = json.loads(r.read())
-        assert health["requests"] == 4
+        assert health["requests"] == 5
         prior_dispatches = health["batched_dispatches"]
 
         # micro-batching: three concurrent same-key single requests within
@@ -162,7 +180,7 @@ def test_serve_daemon(tmp_path):
             assert np.isfinite(audc).all() and np.abs(audc).max() > 1e-4
         with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
             health = json.loads(r.read())
-        assert health["requests"] == 7
+        assert health["requests"] == 8
         n_disp = health["batched_dispatches"] - prior_dispatches
         assert 1 <= n_disp <= 2, n_disp
     finally:
