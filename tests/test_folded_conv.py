@@ -56,3 +56,32 @@ def test_generator_fold_matches_xla():
     assert a.shape == f.shape
     np.testing.assert_allclose(np.asarray(f), np.asarray(a),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fold_path_is_differentiable():
+    """mrf_impl='fold' is plain XLA convs, so the vocoder fine-tune step
+    can route generator grads through it (unlike the Pallas kernel, which
+    has no transpose rule)."""
+    from radtts_tpu.models.hifigan import (hifigan_generator_apply,
+                                           hifigan_generator_init)
+
+    H = {"resblock": "1",
+         "upsample_rates": [8, 8, 2, 2],
+         "upsample_kernel_sizes": [16, 16, 4, 4],
+         "upsample_initial_channel": 128,
+         "resblock_kernel_sizes": [3, 7, 11],
+         "resblock_dilation_sizes": [[1, 3, 5]] * 3}
+    voc = hifigan_generator_init(jax.random.PRNGKey(0), H)
+    mel = jnp.asarray(np.random.default_rng(2)
+                      .standard_normal((1, 32, 80)).astype(np.float32))
+
+    def loss(v):
+        return jnp.mean(hifigan_generator_apply(v, mel,
+                                                mrf_impl="fold") ** 2)
+
+    grads = jax.grad(loss)(voc)
+    leaves = [g for g in jax.tree.leaves(grads)
+              if hasattr(g, "dtype") and jnp.issubdtype(g.dtype,
+                                                        jnp.floating)]
+    assert leaves and all(bool(jnp.isfinite(g).all()) for g in leaves)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
