@@ -180,7 +180,7 @@ def run_bench(state, deadline):
             "latent space, and that it is possible to synthesize speech "
             "with controllable attributes.")
     encoded = np.asarray(tp.encode_text(text), dtype=np.int64)[None]
-    speaker = jnp.zeros((1,), jnp.int32)
+    _log("text frontend ready")
 
     # a typical LJS utterance budget: ~7 s of audio
     max_frames = 608  # 608 frames * 256 hop / 22050 Hz = 7.06 s
@@ -188,20 +188,31 @@ def run_bench(state, deadline):
     assert max_frames % (16 * g) == 0
     audio_seconds = max_frames * HOP / SR
 
-    text_ids = jnp.asarray(encoded)
-    N = text_ids.shape[1]
+    N = encoded.shape[1]
     n_mel = model_config["n_mel_channels"]
 
-    keys = jax.random.split(jax.random.PRNGKey(2), N_ITERS)
+    # Fixed stage inputs, built ENTIRELY on the host CPU backend and moved
+    # in one device_put (same rationale as init: each eager TPU op is a
+    # tiny remote compile + dispatch, and a slow compile-service day turns
+    # a dozen of them into minutes — measured: 8+ min before the r03 run's
+    # budget expired here). Stage timing on TPU is data-independent
+    # (static shapes, no data-dependent control flow), so random values at
+    # realistic shapes measure the same program the real pipeline runs.
     rng_fix = np.random.default_rng(0)
-    # Representative fixed stage inputs. Stage timing on TPU is
-    # data-independent (static shapes, no data-dependent control flow), so
-    # random values at realistic shapes measure the same program the real
-    # pipeline runs.
-    dur0 = jnp.full((1, N), max_frames // N, jnp.int32)
-    dur0 = dur0.at[:, -1].add(max_frames - int(jnp.sum(dur0)))
-    mel0 = jnp.asarray(
-        rng_fix.standard_normal((1, max_frames, n_mel)).astype(np.float32))
+    with jax.default_device(cpu) if cpu is not None else _nullcontext():
+        speaker = jnp.zeros((1,), jnp.int32)
+        text_ids = jnp.asarray(encoded)
+        keys = jax.random.split(jax.random.PRNGKey(2), N_ITERS)
+        dur0 = jnp.full((1, N), max_frames // N, jnp.int32)
+        dur0 = dur0.at[:, -1].add(max_frames - int(jnp.sum(dur0)))
+        mel0 = jnp.asarray(rng_fix.standard_normal(
+            (1, max_frames, n_mel)).astype(np.float32))
+        chain = jnp.zeros((), jnp.float32)
+        one = jnp.int32(1)
+        ten = jnp.int32(N_ITERS)
+    (speaker, text_ids, keys, dur0, mel0, chain, one, ten) = jax.device_put(
+        (speaker, text_ids, keys, dur0, mel0, chain, one, ten), dev)
+    _log("fixed stage inputs on device")
 
     def _fold(key, chain):
         # numerically zero but NOT constant-foldable (x & 0 would fold):
@@ -256,10 +267,6 @@ def run_bench(state, deadline):
         ("decode", scan_program(s_decode), (params, dur0)),
         ("vocoder", scan_program(s_vocoder), (vocoder, denoiser, mel0)),
     ]
-
-    chain = jnp.zeros((), jnp.float32)
-    one = jnp.int32(1)
-    ten = jnp.int32(N_ITERS)
 
     def timecall(run, n_active, consts):
         tic = time.perf_counter()
