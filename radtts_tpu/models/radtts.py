@@ -576,16 +576,27 @@ def infer_durations(params, rng, speaker_id_text, text, sigma_dur=0.8,
     return dur
 
 
-def renormalize_f0(f0, voiced_mask, f0_mean, f0_std=0.0):
-    """Shift/scale voiced f0 frames to a target mean/std.
+def renormalize_f0(f0, voiced_mask, f0_mean, f0_std=0.0, out_lens=None):
+    """Shift/scale voiced f0 frames to a target mean/std, PER ITEM.
 
-    Voiced-frame stats are flattened across the WHOLE batch with Bessel
-    correction, exactly like the reference's f0[vmask_bool].mean()/.std()
-    (reference: radtts.py:613-622) — at B=1 this equals per-item stats."""
+    Stats are per-row masked mean/std with Bessel correction over that
+    item's voiced frames, so a padded batch of N equals N single calls.
+    At B=1 this matches the reference's batch-flattened boolean-mask
+    indexing f0[vmask_bool].mean()/.std() (reference: radtts.py:613-622)
+    exactly; at B>1 the reference would pool stats across items, which is
+    a batching artifact we deliberately do not reproduce.
+
+    out_lens: optional (B,) valid frame counts — padding frames past an
+    item's length are excluded from its stats (the voiced-mask predictor
+    runs on padded frames too and can mark them voiced)."""
     vm = voiced_mask
-    cnt = jnp.sum(vm)
-    mu = jnp.sum(f0 * vm) / cnt
-    var = jnp.sum(jnp.square(f0 - mu) * vm) / jnp.maximum(cnt - 1, 1)
+    if out_lens is not None:
+        T = f0.shape[-1]
+        vm = vm * (jnp.arange(T)[None, :] < out_lens[:, None])
+    cnt = jnp.sum(vm, axis=-1, keepdims=True)
+    mu = jnp.sum(f0 * vm, axis=-1, keepdims=True) / jnp.maximum(cnt, 1)
+    var = (jnp.sum(jnp.square(f0 - mu) * vm, axis=-1, keepdims=True)
+           / jnp.maximum(cnt - 1, 1))
     sig = jnp.sqrt(var)
     f0_std_eff = f0_std if f0_std > 0 else sig
     return jnp.where(vm.astype(bool),
@@ -666,7 +677,8 @@ def radtts_infer(params, rng, speaker_id, text, sigma, max_frames, *,
                           voiced_mask, out_lens)[..., 0]
 
         if f0_mean > 0.0:
-            f0 = renormalize_f0(f0, voiced_mask, f0_mean, f0_std)
+            f0 = renormalize_f0(f0, voiced_mask, f0_mean, f0_std,
+                                out_lens=out_lens)
 
         if energy_avg is None:
             n_e_ch = 2 if meta["use_first_order_features"] else 1

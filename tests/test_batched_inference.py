@@ -74,6 +74,31 @@ def test_padded_decode_matches_exact(params):
                                atol=2e-5)
 
 
+def test_padded_decode_with_f0_renorm_matches_exact(params):
+    """--batch_size N + --f0_mean > 0: renormalization stats are per item
+    (length-masked), so padded batched output equals the single call."""
+    rng = np.random.default_rng(2)
+    text = jnp.asarray(rng.integers(1, 100, (1, N)))
+    spk = jnp.asarray([0])
+    max_frames = 32
+    dur = jnp.full((1, N), max_frames // N, jnp.int32)
+    dur = dur.at[:, -1].add(max_frames - int(jnp.sum(dur)))
+    key = jax.random.PRNGKey(11)
+
+    kw = dict(sigma_f0=1.0, sigma_energy=1.0, f0_mean=180.0, f0_std=25.0)
+    out = radtts_infer(params, key, spk, text, 0.8, max_frames, dur=dur,
+                       **kw)
+    text_p = jnp.concatenate(
+        [text, jnp.zeros((1, PAD), text.dtype)], axis=1)
+    dur_p = jnp.concatenate(
+        [dur, jnp.zeros((1, PAD), dur.dtype)], axis=1)
+    out_p = radtts_infer(params, key, spk, text_p, 0.8, max_frames,
+                         dur=dur_p, in_lens=jnp.asarray([N]), **kw)
+    np.testing.assert_allclose(np.asarray(out_p["mel"]),
+                               np.asarray(out["mel"]), rtol=2e-5,
+                               atol=2e-5)
+
+
 def _perturb(tree, key, scale=0.05):
     """Add small noise to every leaf (zero-init output layers make flow
     transforms identity, which would let padded-vs-exact pass trivially)."""

@@ -214,17 +214,16 @@ def test_infer_durations_grouped_model_pads_to_text_length():
     assert (d[:, -1] == d[:, -2]).all()
 
 
-def test_f0_renormalization_batched_parity():
-    """B=2 f0 renorm must flatten voiced stats across the whole batch with
-    Bessel correction, matching the reference's boolean-mask indexing
-    (radtts.py:613-622)."""
+def test_f0_renormalization_single_item_reference_parity():
+    """At B=1, per-item renorm equals the reference's boolean-mask indexing
+    with Bessel correction (radtts.py:613-622)."""
     import torch
 
     from radtts_tpu.models.radtts import renormalize_f0
 
     r = np.random.default_rng(3)
-    f0 = (r.random((2, 40)) * 300 + 80).astype(np.float32)
-    vm = (r.random((2, 40)) > 0.4).astype(np.float32)
+    f0 = (r.random((1, 40)) * 300 + 80).astype(np.float32)
+    vm = (r.random((1, 40)) > 0.4).astype(np.float32)
     f0 = f0 * vm
     f0_mean, f0_std = 180.0, 25.0
 
@@ -244,3 +243,40 @@ def test_f0_renormalization_batched_parity():
     ours2 = np.asarray(renormalize_f0(jnp.asarray(f0), jnp.asarray(vm),
                                       f0_mean, 0.0))
     np.testing.assert_allclose(ours2, t2.numpy(), rtol=1e-5, atol=1e-4)
+
+
+def test_f0_renormalization_batched_equals_single_calls():
+    """A padded batch of 2 renormalizes each item with ITS OWN voiced
+    stats: rows must equal two independent single-item calls, including a
+    padded row whose garbage tail frames are excluded via out_lens."""
+    from radtts_tpu.models.radtts import renormalize_f0
+
+    r = np.random.default_rng(7)
+    T, lens = 48, np.asarray([48, 31])
+    f0 = (r.random((2, T)) * 300 + 80).astype(np.float32)
+    vm = (r.random((2, T)) > 0.35).astype(np.float32)
+    # padding frames beyond item 1's length: voiced-mask predictor noise
+    vm[1, lens[1]:] = 1.0
+    f0 = f0 * vm
+    f0_mean, f0_std = 180.0, 25.0
+
+    batched = np.asarray(renormalize_f0(
+        jnp.asarray(f0), jnp.asarray(vm), f0_mean, f0_std,
+        out_lens=jnp.asarray(lens)))
+    for i in range(2):
+        single = np.asarray(renormalize_f0(
+            jnp.asarray(f0[i:i + 1, :lens[i]]),
+            jnp.asarray(vm[i:i + 1, :lens[i]]), f0_mean, f0_std))
+        np.testing.assert_allclose(batched[i, :lens[i]], single[0],
+                                   rtol=1e-5, atol=1e-4)
+
+    # f0_std=0 keeps each item's own std
+    batched0 = np.asarray(renormalize_f0(
+        jnp.asarray(f0), jnp.asarray(vm), f0_mean, 0.0,
+        out_lens=jnp.asarray(lens)))
+    for i in range(2):
+        single0 = np.asarray(renormalize_f0(
+            jnp.asarray(f0[i:i + 1, :lens[i]]),
+            jnp.asarray(vm[i:i + 1, :lens[i]]), f0_mean, 0.0))
+        np.testing.assert_allclose(batched0[i, :lens[i]], single0[0],
+                                   rtol=1e-5, atol=1e-4)
