@@ -308,10 +308,12 @@ def hifigan_generator_apply(params, mel, *, mrf_impl="auto"):
                 params["resblocks"][i]), tile=tile)
             continue
         if (use_pallas and x.shape[-1] == 256
-                and os.environ.get("RADTTS_MRF_WIDE") == "1"):
-            # opt-in (pending on-chip A/B, scripts/ab_mrf_wide.py): one
-            # per-resblock kernel invocation with bf16 weight storage —
-            # within what DEFAULT matmul precision does to fp32 anyway
+                and os.environ.get("RADTTS_MRF_WIDE", "1") != "0"):
+            # DEFAULT since the round-4 on-chip A/B (scripts/
+            # profile_vocoder.py: full vocoder+denoiser 9.70 -> 7.78 ms):
+            # one per-resblock kernel invocation with bf16 weight storage —
+            # within what DEFAULT matmul precision does to fp32 anyway.
+            # RADTTS_MRF_WIDE=0 opts out.
             from radtts_tpu.ops.pallas_mrf import pallas_mrf_wide
             x = pallas_mrf_wide(x, mrf_weights_from_params(
                 params["resblocks"][i]))

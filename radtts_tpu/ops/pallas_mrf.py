@@ -38,24 +38,23 @@ def _lrelu(x):
     return jnp.where(x >= 0, x, LRELU_SLOPE * x)
 
 
-def _conv_valid(buf, w, b, k, d):
-    """buf: (P, C) value. Same-size output y[t] = conv(buf)[t]; rows within
-    reach of the buffer edge wrap (garbage) but stay inside the halo
-    margin. Window build = rolls concatenated on lanes, chunked so each
-    (P, taps*C) slab stays ~2.5 MB of VMEM; one MXU dot per slab.
+def _conv_taps(buf, w, b, offsets):
+    """buf: (P, C) value. Same-size output y[t] = sum_j w_j·buf[t+off_j];
+    rows within reach of the buffer edge wrap (garbage) but stay inside
+    the halo margin. Window build = rolls concatenated on lanes, chunked
+    so each (P, taps*C) slab stays ~2.5 MB of VMEM; one MXU dot per slab.
 
     bf16 weight storage is supported (the wide-stage variant): the window
     is cast to the weight dtype for the dot — on TPU this matches DEFAULT
     matmul precision, which rounds fp32 operands to bf16 on the MXU anyway
     — and accumulation stays fp32."""
-    half = (k - 1) // 2
     P, C = buf.shape
     taps = max(1, int(2.5e6 / (P * C * 4)))
     y = None
-    for j0 in range(0, k, taps):
-        jj = range(j0, min(j0 + taps, k))
+    for j0 in range(0, len(offsets), taps):
+        jj = offsets[j0:j0 + taps]
         # pltpu.roll requires non-negative shifts; -o mod P is the same
-        cols = [pltpu.roll(buf, (-(j - half) * d) % P, axis=0) for j in jj]
+        cols = [pltpu.roll(buf, (-o) % P, axis=0) for o in jj]
         win = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
         part = jax.lax.dot_general(
             win.astype(w.dtype), w[j0 * C:(j0 + len(cols)) * C],
@@ -63,6 +62,12 @@ def _conv_valid(buf, w, b, k, d):
             preferred_element_type=jnp.float32)
         y = part if y is None else y + part
     return y + b                                      # b: (1, C)
+
+
+def _conv_valid(buf, w, b, k, d):
+    """Dilation-d k-tap conv as _conv_taps with symmetric offsets."""
+    half = (k - 1) // 2
+    return _conv_taps(buf, w, b, [(j - half) * d for j in range(k)])
 
 
 def _make_kernel(kernel_sizes, n_out_rb, tile, n_tiles, T, P, halo):
@@ -164,6 +169,113 @@ def pallas_mrf_wide(x, weights, tile=512, interpret=False):
                           weight_dtype=jnp.bfloat16)
         out = part if out is None else out + part
     return out
+
+
+def _make_folded_kernel(specs, n_out_rb, tile, n_tiles, T, F, C, P, halo):
+    """Folded-space MRF kernel: row r of the buffer = `fold` consecutive
+    frames packed into lanes. Convs are block-banded taps over rows
+    (offsets from fold_conv_weights' (m_lo, m_hi)); out-of-sequence
+    intermediates are re-zeroed after every conv at FRAME granularity
+    (lane l belongs to frame r*F + l//C), exactly like the unfolded
+    kernel — including a ragged last row when T % fold != 0."""
+    def kernel(x_ref, *refs):
+        o_ref = refs[-1]
+        x = x_ref[0]                                   # (P, F*C) fp32
+        i_tile = pl.program_id(0) % n_tiles
+        rglob = (i_tile * tile - halo
+                 + jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0))
+        phase = jax.lax.broadcasted_iota(jnp.int32, (P, F * C), 1) // C
+        frame = rglob * F + phase
+        inside = jnp.logical_and(frame >= 0, frame < T)
+        acc = None
+        ref_i = 0
+        for spec in specs:
+            xr = x
+            for i in range(len(spec["offs1"])):
+                w1, b1, w2, b2 = (r[...] for r in refs[ref_i:ref_i + 4])
+                ref_i += 4
+                xt = _conv_taps(_lrelu(xr), w1, b1, spec["offs1"][i])
+                xt = jnp.where(inside, xt, 0.0)
+                xt = _conv_taps(_lrelu(xt), w2, b2, spec["offs2"][i])
+                xt = jnp.where(inside, xt, 0.0)
+                xr = xr + xt
+            acc = xr if acc is None else acc + xr
+        o_ref[0] = acc[halo:halo + tile] * (1.0 / n_out_rb)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fold", "tile", "interpret", "kernel_sizes", "n_out_rb",
+    "weight_dtype"))
+def pallas_mrf_folded(x, weights, fold, tile=512, interpret=False,
+                      kernel_sizes=KERNEL_SIZES, n_out_rb=None,
+                      weight_dtype=jnp.float32):
+    """Time-folded fused MRF for the narrow tail stages (C=32/64).
+
+    Same contract as pallas_mrf, but the kernel works on (T/fold,
+    fold*C)-shaped buffers so each conv's MXU dot is fold·C lanes wide
+    (128 at C=32/fold=4) instead of C: a 32x32 matmul uses ~1/16 of the
+    MXU; the folded block-banded weights (ops/folded_conv.py math,
+    exact zero blocks) trade ~2.7x FLOPs for 16x lane utilization. The
+    products computed are a superset of the original conv's (extra terms
+    multiply exact zeros), so outputs match to rounding.
+    Requires T % fold == 0 (the caller pads frames, which this wraps in
+    the tile padding anyway)."""
+    from radtts_tpu.ops.folded_conv import fold_conv_weights
+
+    B, T, C = x.shape
+    F = int(fold)
+    n_rb = len(weights)
+    if n_out_rb is None:
+        n_out_rb = n_rb
+    Tp_f = -(-T // F) * F
+    if Tp_f != T:
+        x = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, Tp_f - T), (0, 0)))
+    U = Tp_f // F
+    X = x.astype(jnp.float32).reshape(B, U, F * C)
+
+    flat, specs, halo = [], [], 0
+    for k, wd in zip(kernel_sizes, weights):
+        offs1, offs2, chain = [], [], 0
+        spec = {"offs1": offs1, "offs2": offs2}
+        for i, d in enumerate(DILATIONS):
+            W1, B1, (pl1, pr1) = fold_conv_weights(
+                wd["w1"][i], wd["b1"][i], (k - 1) // 2 * d, d, F)
+            W2, B2, (pl2, pr2) = fold_conv_weights(
+                wd["w2"][i], wd["b2"][i], (k - 1) // 2, 1, F)
+            flat += [W1.reshape(-1, F * C).astype(weight_dtype),
+                     B1.astype(jnp.float32).reshape(1, F * C),
+                     W2.reshape(-1, F * C).astype(weight_dtype),
+                     B2.astype(jnp.float32).reshape(1, F * C)]
+            offs1.append(list(range(-pl1, pr1 + 1)))
+            offs2.append(list(range(-pl2, pr2 + 1)))
+            chain += max(pl1, pr1) + max(pl2, pr2)
+        halo = max(halo, chain)
+        specs.append(spec)
+
+    Up = -(-U // tile) * tile
+    Xp = jnp.pad(X, ((0, 0), (halo, halo + Up - U), (0, 0)))
+    P = tile + 2 * halo
+    n_tiles = Up // tile
+    views = [Xp[:, i * tile: i * tile + P] for i in range(n_tiles)]
+    Xv = jnp.stack(views, axis=1).reshape(B * n_tiles, P, F * C)
+
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat]
+    out = pl.pallas_call(
+        _make_folded_kernel(specs, n_out_rb, tile, n_tiles, T, F, C, P,
+                            halo),
+        out_shape=jax.ShapeDtypeStruct((B * n_tiles, tile, F * C),
+                                       jnp.float32),
+        grid=(B * n_tiles,),
+        in_specs=[pl.BlockSpec((1, P, F * C), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM)] + w_specs,
+        out_specs=pl.BlockSpec((1, tile, F * C), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(Xv, *flat)
+
+    out = out.reshape(B, Up * F, C)
+    return out[:, :T]
 
 
 def mrf_weights_from_params(resblock_group):

@@ -85,3 +85,28 @@ def test_fold_path_is_differentiable():
                                                         jnp.floating)]
     assert leaves and all(bool(jnp.isfinite(g).all()) for g in leaves)
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+@pytest.mark.parametrize("stride,K,C_in,C_out", [(8, 16, 256, 128),
+                                                 (2, 4, 64, 32),
+                                                 (8, 16, 512, 256)])
+def test_transpose_conv_matmul_matches_dilated(stride, K, C_in, C_out):
+    """Phase-folded window-matmul transpose conv == the lhs-dilated
+    formulation (reference torch ConvTranspose1d semantics), bias and
+    edge padding included."""
+    from radtts_tpu.models.hifigan import conv_transpose1d_apply
+    from radtts_tpu.ops.folded_conv import conv_transpose1d_matmul
+
+    r = np.random.default_rng(stride + K)
+    params = {
+        "w": jnp.asarray(r.standard_normal((K, C_in, C_out))
+                         .astype(np.float32) * 0.05),
+        "b": jnp.asarray(r.standard_normal((C_out,)).astype(np.float32)),
+    }
+    x = jnp.asarray(r.standard_normal((2, 37, C_in)).astype(np.float32))
+    pad = (K - stride) // 2
+    ref = conv_transpose1d_apply(params, x, stride, pad)
+    out = conv_transpose1d_matmul(params, x, stride, pad)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -58,8 +58,9 @@ def test_generator_pallas_impl_matches_xla(voc):
 
     orig = pm.pallas_mrf
 
-    def interp(x, w, tile=1024, interpret=False):
-        return orig(x, w, tile=tile, interpret=True)
+    def interp(x, w, **kw):
+        kw["interpret"] = True
+        return orig(x, w, **kw)
 
     pm.pallas_mrf = interp
     try:
@@ -67,8 +68,11 @@ def test_generator_pallas_impl_matches_xla(voc):
         y_pal = hg.hifigan_generator_apply(voc, mel, mrf_impl="pallas")
     finally:
         pm.pallas_mrf = orig
-    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_xla),
-                               rtol=1e-5, atol=1e-5)
+    # the C=256 stage rides pallas_mrf_wide (bf16 weight storage) by
+    # default, so the comparison is bf16-rounding-tolerance, not exact
+    scale = np.abs(np.asarray(y_xla)).max()
+    assert np.abs(np.asarray(y_pal) - np.asarray(y_xla)).max() \
+        < 0.02 * scale
 
 
 def test_pallas_mrf_wide_decomposition_exact(voc):
@@ -86,6 +90,45 @@ def test_pallas_mrf_wide_decomposition_exact(voc):
              for m, wd in enumerate(w)]
     np.testing.assert_allclose(np.asarray(sum(parts)), np.asarray(fused),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("stage,T,C,F", [(3, 1000, 32, 4), (2, 700, 64, 2),
+                                         (3, 512, 32, 4)])
+def test_pallas_mrf_folded_matches_xla(voc, stage, T, C, F):
+    """Time-folded kernel (fold F frames into lanes) == XLA resblock path,
+    including sequence-end zero padding and a non-multiple-of-(tile*F)
+    length."""
+    from radtts_tpu.ops.pallas_mrf import pallas_mrf_folded
+
+    rng = np.random.default_rng(stage + 10 * F)
+    x = jnp.asarray(rng.standard_normal((2, T, C)).astype(np.float32))
+    xs = jnp.zeros_like(x)
+    for j, block in enumerate(voc["resblocks"][stage]):
+        xs = xs + _resblock1_apply(block, x, RK[j], RD[j])
+    ref = xs / 3
+    w = mrf_weights_from_params(voc["resblocks"][stage])
+    out = pallas_mrf_folded(x, w, fold=F, tile=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_mrf_folded_ragged_tail(voc):
+    """T not a multiple of fold: the kernel pads frames internally and
+    returns exactly T frames equal to the unfolded reference."""
+    from radtts_tpu.ops.pallas_mrf import pallas_mrf_folded
+
+    stage, T, C, F = 3, 997, 32, 4
+    rng = np.random.default_rng(99)
+    x = jnp.asarray(rng.standard_normal((1, T, C)).astype(np.float32))
+    xs = jnp.zeros_like(x)
+    for j, block in enumerate(voc["resblocks"][stage]):
+        xs = xs + _resblock1_apply(block, x, RK[j], RD[j])
+    ref = xs / 3
+    out = pallas_mrf_folded(x, mrf_weights_from_params(
+        voc["resblocks"][stage]), fold=F, tile=32, interpret=True)
+    assert out.shape == (1, T, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_pallas_mrf_wide_bf16_close_on_c256(voc):
