@@ -298,6 +298,18 @@ def hifigan_generator_apply(params, mel, *, mrf_impl="auto"):
     for i, (u, k) in enumerate(zip(rates, kernels)):
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         x = conv_transpose1d_apply(params["ups"][i], x, u, (k - u) // 2)
+        if (use_pallas and x.shape[-1] == 32
+                and os.environ.get("RADTTS_MRF_FOLD", "1") != "0"):
+            # DEFAULT since the round-4 on-chip A/B (PROF_SET=fold,
+            # scripts/profile_vocoder.py: full vocoder+denoiser
+            # 7.98 -> 6.23 ms): the C=32 tail stage runs as the in-kernel
+            # time-folded MRF — 4 frames packed into 128 lanes so every
+            # conv is a full-width MXU dot (ops/pallas_mrf.py
+            # pallas_mrf_folded). RADTTS_MRF_FOLD=0 opts out.
+            from radtts_tpu.ops.pallas_mrf import pallas_mrf_folded
+            x = pallas_mrf_folded(x, mrf_weights_from_params(
+                params["resblocks"][i]), fold=4, tile=1024)
+            continue
         if use_pallas and x.shape[-1] <= 128:
             # C=256 stages don't fit VMEM (k=11 weight stacks alone are
             # 17 MB) and are cheap under XLA; fuse only the narrow stages.

@@ -38,7 +38,7 @@ def _lrelu(x):
     return jnp.where(x >= 0, x, LRELU_SLOPE * x)
 
 
-def _conv_taps(buf, w, b, offsets):
+def _conv_taps(buf, w, b, offsets, taps_per_dot=None):
     """buf: (P, C) value. Same-size output y[t] = sum_j w_j·buf[t+off_j];
     rows within reach of the buffer edge wrap (garbage) but stay inside
     the halo margin. Window build = rolls concatenated on lanes, chunked
@@ -47,9 +47,15 @@ def _conv_taps(buf, w, b, offsets):
     bf16 weight storage is supported (the wide-stage variant): the window
     is cast to the weight dtype for the dot — on TPU this matches DEFAULT
     matmul precision, which rounds fp32 operands to bf16 on the MXU anyway
-    — and accumulation stays fp32."""
+    — and accumulation stays fp32.
+
+    taps_per_dot=1 skips the lane-axis concatenate entirely (one MXU dot
+    per tap): at C=128 (the folded kernels) Mosaic cannot concatenate
+    rolled copies whose row shifts are not sublane-aligned ("result/input
+    offset mismatch on non-concat dimension"); per-tap dots at a 128-deep
+    contraction lose nothing."""
     P, C = buf.shape
-    taps = max(1, int(2.5e6 / (P * C * 4)))
+    taps = taps_per_dot or max(1, int(2.5e6 / (P * C * 4)))
     y = None
     for j0 in range(0, len(offsets), taps):
         jj = offsets[j0:j0 + taps]
@@ -194,9 +200,11 @@ def _make_folded_kernel(specs, n_out_rb, tile, n_tiles, T, F, C, P, halo):
             for i in range(len(spec["offs1"])):
                 w1, b1, w2, b2 = (r[...] for r in refs[ref_i:ref_i + 4])
                 ref_i += 4
-                xt = _conv_taps(_lrelu(xr), w1, b1, spec["offs1"][i])
+                xt = _conv_taps(_lrelu(xr), w1, b1, spec["offs1"][i],
+                                taps_per_dot=1)
                 xt = jnp.where(inside, xt, 0.0)
-                xt = _conv_taps(_lrelu(xt), w2, b2, spec["offs2"][i])
+                xt = _conv_taps(_lrelu(xt), w2, b2, spec["offs2"][i],
+                                taps_per_dot=1)
                 xt = jnp.where(inside, xt, 0.0)
                 xr = xr + xt
             acc = xr if acc is None else acc + xr

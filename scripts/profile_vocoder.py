@@ -70,10 +70,13 @@ def gen_prefix(params, mel, n_stages, with_post, impls=None,
         C = x.shape[-1]
         impl = (impls[i] if impls else
                 ("pallas" if C <= 128 else "xla"))
-        if impl == "pallas":
-            tile = 1536 if C == 64 else 1024
+        if impl.startswith("pallas"):
+            tile = (int(impl.split("@")[1]) if "@" in impl
+                    else 1536 if C == 64 else 1024)
+            wd = jnp.bfloat16 if "bf16" in impl else jnp.float32
             x = pallas_mrf(x.astype(jnp.float32), mrf_weights_from_params(
-                params["resblocks"][i]), tile=tile).astype(act_dtype)
+                params["resblocks"][i]), tile=tile,
+                weight_dtype=wd).astype(act_dtype)
         elif impl == "wide":
             x = pallas_mrf_wide(
                 x.astype(jnp.float32),
@@ -153,7 +156,30 @@ def main():
         return scan_program(f)
 
     prof_set = os.environ.get("PROF_SET", "cuts")
-    if prof_set == "fold":
+    if prof_set == "st1":
+        # round-4 second pass: baseline = wide-256 + pfold@1024 on st3;
+        # attack the C=128 stage (bf16 weights halve VMEM traffic, larger
+        # tiles amortize the halo) and retune st3's tile.
+        W = "wide"
+        P3 = "pfold@1024"
+        cuts = [
+            ("base2", make_cut(4, True, True,
+                               impls=[W, "pallas", "pallas", P3])),
+            ("s1bf16", make_cut(4, True, True,
+                                impls=[W, "pallasbf16", "pallas", P3])),
+            # tile=2048 at C=128 OOMs scoped VMEM (19.6M vs 16M limit,
+            # measured) — the 1792+ note in models/hifigan.py holds.
+            ("s1bf16t15", make_cut(4, True, True,
+                                   impls=[W, "pallasbf16@1536", "pallas",
+                                          P3])),
+            ("s3bf16", make_cut(4, True, True,
+                                impls=[W, "pallas", "pallas",
+                                       "pfoldbf16@1024"])),
+            ("s2bf16", make_cut(4, True, True,
+                                impls=[W, "pallas", "pallasbf16@1536",
+                                       P3])),
+        ]
+    elif prof_set == "fold":
         # round-4 folded-kernel A/B: baseline = wide-256 default
         W = "wide"
         cuts = [

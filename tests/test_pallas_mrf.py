@@ -57,17 +57,24 @@ def test_generator_pallas_impl_matches_xla(voc):
     y_xla = hifigan_generator_apply(voc, mel)
 
     orig = pm.pallas_mrf
+    orig_folded = pm.pallas_mrf_folded
 
     def interp(x, w, **kw):
         kw["interpret"] = True
         return orig(x, w, **kw)
 
+    def interp_folded(x, w, **kw):
+        kw["interpret"] = True
+        return orig_folded(x, w, **kw)
+
     pm.pallas_mrf = interp
+    pm.pallas_mrf_folded = interp_folded
     try:
         import radtts_tpu.models.hifigan as hg
         y_pal = hg.hifigan_generator_apply(voc, mel, mrf_impl="pallas")
     finally:
         pm.pallas_mrf = orig
+        pm.pallas_mrf_folded = orig_folded
     # the C=256 stage rides pallas_mrf_wide (bf16 weight storage) by
     # default, so the comparison is bf16-rounding-tolerance, not exact
     scale = np.abs(np.asarray(y_xla)).max()
