@@ -109,6 +109,58 @@ _LAST = os.path.join(_REPO, ".bench_last.json")
 _AOT_DIR = os.path.join(_REPO, ".bench_aot")
 
 
+def get_runner(name, fn, example_args, fingerprint, deadline):
+    """A compiled callable for jitted `fn` at `example_args`, backed by the
+    serialized-executable store: load a previously serialized executable if
+    one exists for this exact code fingerprint (no tunnel compile at all);
+    else jit-lower + compile under a timeout with retries, then persist the
+    zlib-compressed serialized executable for the next run. Keyed by source
+    hash + device kind, so only THIS code's artifacts ever load."""
+    import zlib
+    path = os.path.join(_AOT_DIR, f"{name}-{fingerprint}.aot")
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                blob = f.read()
+            payload, in_tree, out_tree = pickle.loads(zlib.decompress(blob))
+            from jax.experimental.serialize_executable import \
+                deserialize_and_load
+            loaded = _with_timeout(
+                lambda: deserialize_and_load(payload, in_tree, out_tree),
+                180, f"aot load {name}")
+            _log(f"{name}: loaded serialized executable "
+                 f"({len(blob) / 1e6:.1f} MB on disk)")
+            return loaded
+        except Exception as exc:
+            _log(f"{name}: AOT load failed ({exc!r}); compiling")
+    compiled = None
+    for attempt in range(3):
+        budget = min(300.0, max(60.0, deadline - time.monotonic() - 45))
+        try:
+            compiled = _with_timeout(
+                lambda: fn.lower(*example_args).compile(),
+                budget, f"compile {name}")
+            break
+        except Exception as exc:
+            _log(f"{name} compile attempt {attempt + 1} failed: {exc!r}")
+            if attempt == 2 or time.monotonic() > deadline - 60:
+                raise
+            time.sleep(5)
+    try:
+        from jax.experimental.serialize_executable import serialize
+        os.makedirs(_AOT_DIR, exist_ok=True)
+        blob = zlib.compress(pickle.dumps(serialize(compiled)), 6)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        _log(f"{name}: serialized executable persisted "
+             f"({len(blob) / 1e6:.1f} MB)")
+    except Exception as exc:  # persistence is an optimization
+        _log(f"{name}: serialize failed ({exc!r})")
+    return compiled
+
+
 def _with_timeout(fn, timeout_s, desc):
     """Run fn() on a daemon thread with a wall-clock bound. The tunneled
     backend's compile/load RPCs HANG rather than error when the remote
@@ -203,29 +255,41 @@ def run_bench(state, deadline):
     from radtts_tpu.models.hifigan import (denoiser_apply, denoiser_init,
                                            hifigan_generator_apply,
                                            hifigan_generator_init)
-    from radtts_tpu.models.radtts import infer_durations, radtts_infer, \
-        radtts_init
+    from radtts_tpu.models.radtts import _radtts_init_impl, \
+        infer_durations, radtts_infer
     from radtts_tpu.ops.invertible import precompute_inverses
     from radtts_tpu.text.processing import TextProcessing
 
     model_config = _flagship_model_config(small=False)
-    # Init on the host CPU backend: eager init issues hundreds of tiny ops,
-    # and per-dispatch overhead through the tunneled TPU backend has been
-    # measured at up to ~1 s. One batched device_put moves the pytrees over.
-    _log("init on cpu")
+    dev = jax.devices()[0]
+    fingerprint = _code_fingerprint(dev)
     try:
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
-    with jax.default_device(cpu) if cpu is not None else _nullcontext():
-        params = radtts_init(jax.random.PRNGKey(0), model_config)
-        params = precompute_inverses(params)
-        vocoder = hifigan_generator_init(jax.random.PRNGKey(1), HIFIGAN_V1)
-        denoiser = denoiser_init(vocoder)
-    dev = jax.devices()[0]
-    params, vocoder, denoiser = jax.device_put((params, vocoder, denoiser),
-                                               dev)
-    _log(f"init done, transferred to {dev}")
+
+    # Init as ONE jitted program executed on the TPU device itself: eager
+    # init on the host CPU + device_put of the pytrees measured 172 s
+    # through the tunnel (r04); on-device the same work is one executable
+    # (AOT-store-backed like the stages) and zero host->device bulk
+    # transfer. The seed is a runtime operand so XLA cannot try to
+    # constant-fold the whole init at compile time.
+    _log("init on device (jitted)")
+
+    def _init_all(seed):
+        k = jax.random.PRNGKey(seed)
+        k0, k1 = jax.random.split(k)
+        p = _radtts_init_impl(k0, model_config)
+        p = precompute_inverses(p)
+        voc = hifigan_generator_init(k1, HIFIGAN_V1)
+        den = denoiser_init(voc)
+        return p, voc, den
+
+    init_run = get_runner("initp", jax.jit(_init_all), (jnp.int32(0),),
+                          fingerprint, deadline)
+    params, vocoder, denoiser = init_run(jnp.int32(0))
+    jax.block_until_ready(params["embedding"]["table"])
+    _log(f"init done on {dev}")
 
     tp = TextProcessing(
         "radtts", ["radtts_cleaners"], "radtts_tpu/text/assets/heteronyms",
@@ -325,58 +389,11 @@ def run_bench(state, deadline):
         float(run(n_active, chain, consts))
         return time.perf_counter() - tic
 
-    fingerprint = _code_fingerprint(dev)
-
     def get_stage_runner(name, stage_fn, consts, variant=""):
-        """A callable run(n, chain, consts) for the stage. Tries the
-        serialized-executable store first (no tunnel compile at all); else
-        jit-lowers + compiles under a timeout with retries, then persists
-        the serialized executable for the next run (keyed by source hash +
-        device kind, so only THIS code's artifacts ever load)."""
-        path = os.path.join(_AOT_DIR, f"{name}{variant}-{fingerprint}.aot")
-        if os.path.exists(path):
-            try:
-                with open(path, "rb") as f:
-                    payload, in_tree, out_tree = pickle.loads(f.read())
-                from jax.experimental.serialize_executable import \
-                    deserialize_and_load
-                loaded = _with_timeout(
-                    lambda: deserialize_and_load(payload, in_tree,
-                                                 out_tree),
-                    180, f"aot load {name}")
-                _log(f"stage {name}: loaded serialized executable "
-                     f"({len(payload) / 1e6:.1f} MB)")
-                return loaded
-            except Exception as exc:
-                _log(f"stage {name}: AOT load failed ({exc!r}); compiling")
-        fn = scan_program(stage_fn)
-        compiled = None
-        for attempt in range(3):
-            budget = min(300.0, max(60.0, deadline - time.monotonic() - 45))
-            try:
-                compiled = _with_timeout(
-                    lambda: fn.lower(one, chain, consts).compile(),
-                    budget, f"compile {name}")
-                break
-            except Exception as exc:
-                _log(f"stage {name} compile attempt {attempt + 1} "
-                     f"failed: {exc!r}")
-                if attempt == 2 or time.monotonic() > deadline - 60:
-                    raise
-                time.sleep(5)
-        try:
-            from jax.experimental.serialize_executable import serialize
-            os.makedirs(_AOT_DIR, exist_ok=True)
-            blob = pickle.dumps(serialize(compiled))
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(blob)
-            os.replace(tmp, path)
-            _log(f"stage {name}: serialized executable persisted "
-                 f"({len(blob) / 1e6:.1f} MB)")
-        except Exception as exc:  # persistence is an optimization
-            _log(f"stage {name}: serialize failed ({exc!r})")
-        return compiled
+        """A callable run(n, chain, consts) for the stage, via the
+        AOT-store-backed generic runner above."""
+        return get_runner(f"stage-{name}{variant}", scan_program(stage_fn),
+                          (one, chain, consts), fingerprint, deadline)
 
     # Stage order = share of pipeline time (r03 split: vocoder 9.6 ms,
     # decode 3.8 ms, durations 0.23 ms): if the budget dies early, the

@@ -28,7 +28,19 @@ def _random_orthonormal(key, c):
 
 
 def inv1x1_lus_init(key, c):
-    W = np.asarray(_random_orthonormal(key, c), dtype=np.float64)
+    W = _random_orthonormal(key, c)
+    if isinstance(W, jax.core.Tracer):
+        # Traced path (init itself under jit, e.g. bench.py's on-device
+        # init program): jax's LU instead of scipy's. fp32 instead of the
+        # host path's fp64 factorization — irrelevant for a random init.
+        p_piv, l, u = jax.scipy.linalg.lu(W.astype(jnp.float32))
+        return {
+            "p": p_piv,
+            "lower": jnp.tril(l, -1),
+            "upper": jnp.triu(u, 1),
+            "upper_diag": jnp.diagonal(u),
+        }
+    W = np.asarray(W, dtype=np.float64)
     p, l, u = scipy.linalg.lu(W)
     return {
         "p": jnp.asarray(p, jnp.float32),            # fixed buffer
