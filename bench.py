@@ -201,8 +201,12 @@ def _code_fingerprint(dev):
                 with open(os.path.join(root, fn), "rb") as f:
                     h.update(fn.encode())
                     h.update(f.read())
-    with open(os.path.abspath(__file__), "rb") as f:
-        h.update(f.read())
+    # every other input that shapes the benched programs
+    for extra in (os.path.abspath(__file__),
+                  os.path.join(_REPO, "__graft_entry__.py"),
+                  os.path.join(_REPO, "configs", "config_ljs_dap.json")):
+        with open(extra, "rb") as f:
+            h.update(f.read())
     return h.hexdigest()[:20]
 
 

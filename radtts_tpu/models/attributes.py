@@ -25,6 +25,7 @@ from radtts_tpu.models.coupling import (affine_coupling_apply,
                                         scaling_and_log_s, spline_ar_apply,
                                         spline_ar_init, spline_coupling_apply,
                                         spline_coupling_init)
+from radtts_tpu.ops import amp
 from radtts_tpu.ops.conv import (conv1d_apply, conv1d_init, conv_norm_apply,
                                  conv_norm_init)
 from radtts_tpu.ops.invertible import (inv1x1_forward, inv1x1_init,
@@ -136,7 +137,14 @@ def conv_lstm_linear_init(key, in_dim, out_dim, n_layers=2, n_channels=256,
 
 def _conv_lstm_linear_front(params, x, lens=None, *, training=False,
                             dropout_rng=None):
-    """The conv stack (everything before the recurrence)."""
+    """The conv stack (everything before the recurrence).
+
+    Enters the amp bf16 region here when the scope is active: the reference
+    autocasts the whole attribute predictor (train.py:364 wraps the full
+    model forward; only the text encoder and 1x1 convs opt out via
+    autocast(False)), so the ConvLSTMLinear convs AND the LSTM recurrence
+    (weights follow x.dtype, ops/lstm.py) run half precision under AMP."""
+    x = amp.cast_in(x)
     meta = params["_meta"]
     k = meta["kernel_size"]
     mask = None if lens is None else sequence_mask(lens, x.shape[1])
@@ -169,7 +177,7 @@ def conv_lstm_linear_apply(params, x, lens=None, *, training=False,
             x, _ = lstm_apply(params["lstm"], x, lens)
     if meta["use_linear"]:
         x = linear_apply(params["dense"], x)
-    return x
+    return amp.cast_out(x)
 
 
 # ---------------------------------------------------------------------------
@@ -264,7 +272,7 @@ def dap_forward_fused(params_list, txt_list, spk_list, x_list, lens=None, *,
     for p, y, x in zip(params_list, lstm_outs, norm_x):
         if p["feat"]["_meta"]["use_linear"]:
             y = linear_apply(p["feat"]["dense"], y)
-        outs.append({"x_hat": y, "x": x})
+        outs.append({"x_hat": amp.cast_out(y), "x": x})
     return outs
 
 
@@ -289,7 +297,8 @@ def dap_infer_fused(params_list, txt_list, spk_list, lens=None):
     for p, y in zip(params_list, lstm_outs):
         if p["feat"]["_meta"]["use_linear"]:
             y = linear_apply(p["feat"]["dense"], y)
-        outs.append(attr_denormalize(y, p["_meta"]["take_log_of_input"]))
+        outs.append(attr_denormalize(amp.cast_out(y),
+                                     p["_meta"]["take_log_of_input"]))
     return outs
 
 

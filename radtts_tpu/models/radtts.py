@@ -302,7 +302,12 @@ def preprocess_context(params, context, speaker_vecs, out_lens=None, f0=None,
             if energy_avg is not None:
                 ctx = jnp.concatenate([ctx, energy_avg], axis=-1)
         lens_g = None if out_lens is None else out_lens // g
-        ctx = bilstm_apply(params["context_lstm"], ctx, lens_g)
+        # under AMP the context LSTM runs bf16 like the reference's
+        # autocast does (train.py:364 covers it; torch LSTMs autocast to
+        # half) — weights follow the activation dtype in ops/lstm.py
+        from radtts_tpu.ops import amp as _amp
+        ctx = _amp.cast_out(
+            bilstm_apply(params["context_lstm"], _amp.cast_in(ctx), lens_g))
 
     if not meta["context_lstm_w_f0_and_energy"]:
         if f0 is not None:

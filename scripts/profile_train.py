@@ -189,9 +189,84 @@ def main():
 
         return lambda n: float(run(p, batch, jnp.int32(n)))
 
+    def fori_step(step, p, o, binarize, use_kl):
+        """Same full train step, timed under lax.fori_loop instead of
+        scan+cond: fori threads the (params, opt_state) carry without a
+        branch, so comparing against scan_step isolates harness overhead
+        (cond/select copies of the ~3-param-tree carry) from real step
+        cost. n is still a runtime operand -> one executable for 10 and
+        1 iterations."""
+        @jax.jit
+        def run(p, o, batch, n_active):
+            def body(i, carry):
+                pp, oo = carry
+                pp, oo, total, _, _ = step(pp, oo, batch, keys[i],
+                                           binarize, use_kl)
+                return (pp, oo)
+
+            p2, o2 = lax.fori_loop(0, n_active, body, (p, o))
+            return p2["embedding"]["table"][0, 0]
+
+        return lambda n: float(run(p, o, batch, jnp.int32(n)))
+
+    def scan_sgd(p, binarize):
+        """Full grads + a bare SGD write (no RAdam, no masks, no norm, no
+        opt_state in the carry): full - scan_sgd isolates the optimizer
+        machinery including its state traffic."""
+        gfn = jax.value_and_grad(
+            lambda pp, b, k: loss_value(pp, b, k, binarize), has_aux=False)
+
+        @jax.jit
+        def run(p, batch, n_active):
+            def body(pp, inp):
+                i, key = inp
+
+                def active(c):
+                    _, grads = gfn(c, batch, key)
+                    return jax.tree.map(lambda a, g: a - 1e-12 * g, c,
+                                        grads)
+
+                return lax.cond(i < n_active, active, lambda c: c, pp), ()
+
+            pp, _ = lax.scan(body, p, (jnp.arange(N_ITERS), keys))
+            return pp["embedding"]["table"][0, 0]
+
+        return lambda n: float(run(p, batch, jnp.int32(n)))
+
+    def scan_grad(p, binarize, use_kl):
+        """value_and_grad WITHOUT the optimizer: full - gradonly isolates
+        RAdam + global_norm + mask/apply cost from the backward proper.
+        Chains a scalar made from one grad leaf so steps serialize."""
+        gfn = jax.value_and_grad(
+            lambda pp, b, k: loss_value(pp, b, k, binarize), has_aux=False)
+
+        @jax.jit
+        def run(p, batch, n_active):
+            def body(chain, inp):
+                i, key = inp
+
+                def active(c):
+                    key2 = jax.random.fold_in(
+                        key, (jnp.abs(c) * 1e-30).astype(jnp.int32))
+                    total, grads = gfn(p, batch, key2)
+                    probe = jnp.sum(grads["embedding"]["table"][:2, :2])
+                    return c + (total + probe) * 1e-20
+
+                return lax.cond(i < n_active, active, lambda c: c,
+                                chain), ()
+
+            return lax.scan(body, jnp.float32(0),
+                            (jnp.arange(N_ITERS), keys))[0]
+
+        return lambda n: float(run(p, batch, jnp.int32(n)))
+
     variants = [
         ("full", lambda: scan_step(step_full, params, opt_state,
                                    True, True)),
+        ("gradonly", lambda: scan_grad(params, True, False)),
+        ("fullfori", lambda: fori_step(step_full, params, opt_state,
+                                       True, True)),
+        ("sgd", lambda: scan_sgd(params, True)),
         ("nobin", lambda: scan_step(step_full, params, opt_state,
                                     False, False)),
         ("fwdloss", lambda: scan_value(
