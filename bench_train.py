@@ -8,12 +8,16 @@ binarization + CTC on) on the flagship config_ljs_dap model at B=16 and
 LJS-typical sequence lengths.
 
 Methodology (docs/DESIGN.md §8): all timed steps run INSIDE one jitted
-lax.scan whose trip count is a RUNTIME operand (a scalar lax.cond skips
-inactive steps), so the long and short timings come from the SAME
-executable — subtracting them cancels dispatch+sync overhead without the
-cross-program noise that made earlier two-executable readings unstable
-(round 2 recorded both 0.0325 s/step and a negative difference from the
-same code). Steps serialize through the params/opt_state carry.
+lax.fori_loop whose trip count is a RUNTIME operand, so the long and
+short timings come from the SAME executable — subtracting them cancels
+dispatch+sync overhead without the cross-program noise that made earlier
+two-executable readings unstable (round 2 recorded both 0.0325 s/step
+and a negative difference from the same code). Steps serialize through
+the params/opt_state carry. fori_loop (not scan+cond) because the cond's
+select on the ~3-param-tree carry copied the trees every iteration:
+profile_train.py measured 61.9 ms/step under scan+cond vs 58.6 under
+fori for the identical step — ~3.3 ms of pure harness overhead the real
+training loop (one executable call per step) never pays.
 
 MFU is reported two ways:
 - mfu_hlo: XLA cost-analysis FLOPs of the lowered program (counts every
@@ -109,22 +113,14 @@ def main(use_amp, n_iters):
 
     @jax.jit
     def run_steps(params, opt_state, batch, n_active):
-        def body(carry, inp):
-            i, key = inp
+        def body(i, carry):
+            p, o, _ = carry
+            p, o, total, _, _ = step(p, o, batch, keys[i], True, True)
+            return (p, o, total)
 
-            def active(c):
-                p, o = c
-                p, o, total, _, _ = step(p, o, batch, key, True, True)
-                return (p, o), total
-
-            def skip(c):
-                return c, jnp.float32(0)
-
-            return jax.lax.cond(i < n_active, active, skip, carry)
-
-        (params, opt_state), totals = jax.lax.scan(
-            body, (params, opt_state), (jnp.arange(n_iters), keys))
-        return params, opt_state, totals[0]
+        params, opt_state, total = jax.lax.fori_loop(
+            0, n_active, body, (params, opt_state, jnp.float32(0)))
+        return params, opt_state, total
 
     def timecall(n_active):
         tic = time.perf_counter()
@@ -147,12 +143,14 @@ def main(use_amp, n_iters):
 
     flops = flops_analytic = None
     try:
-        cost = run_steps.lower(params, opt_state, batch,
-                               jnp.int32(n_iters)).cost_analysis()
+        # count FLOPs on ONE bare step (the fori harness is a dynamic-trip
+        # while loop whose body XLA cost analysis cannot multiply out)
+        cost = jax.jit(
+            lambda p, o, b, k: step(p, o, b, k, True, True)).lower(
+                params, opt_state, batch, keys[0]).cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        # the lowered scan runs n_iters bodies; divide down to one step
-        flops = (float(cost.get("flops", 0.0)) / n_iters) or None
+        flops = float(cost.get("flops", 0.0)) or None
     except Exception as exc:  # cost analysis is best-effort per backend
         _log(f"cost_analysis unavailable: {exc}")
     try:

@@ -59,10 +59,18 @@ def flat_dict_to_tree(template, flat, *, strict=True, filter_fn=None):
 def save_checkpoint(path, params, opt_state=None, iteration=0,
                     learning_rate=0.0, extra=None):
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    payload = {f"params/{k}": v
+    def to_np(v):
+        arr = np.asarray(v)
+        if arr.dtype.kind == "V":  # ml_dtypes (bfloat16): npz can't
+            # round-trip extension dtypes — store fp32 (bf16->fp32 is
+            # exact; load_checkpoint casts back via the template dtype)
+            arr = np.asarray(jax.numpy.asarray(v, jax.numpy.float32))
+        return arr
+
+    payload = {f"params/{k}": to_np(v)
                for k, v in tree_to_flat_dict(params).items()}
     if opt_state is not None:
-        payload.update({f"opt/{k}": v
+        payload.update({f"opt/{k}": to_np(v)
                         for k, v in tree_to_flat_dict(opt_state).items()})
     np.savez(path if path.endswith(".npz") else path + ".npz", **payload)
     meta = {"iteration": int(iteration),

@@ -19,25 +19,35 @@ class _MomentState(NamedTuple):
     nu: optax.Updates
 
 
-def _init_moments(params):
+def _init_moments(params, state_dtype=None):
+    def zeros(p):
+        return jnp.zeros(p.shape, state_dtype or p.dtype)
+
     return _MomentState(
         count=jnp.zeros([], jnp.int32),
-        mu=jax.tree.map(jnp.zeros_like, params),
-        nu=jax.tree.map(jnp.zeros_like, params),
+        mu=jax.tree.map(zeros, params),
+        nu=jax.tree.map(zeros, params),
     )
 
 
-def radam(learning_rate=1e-4, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0):
+def radam(learning_rate=1e-4, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
+          state_dtype=None):
+    """state_dtype=jnp.bfloat16 keeps the mu/nu moment trees in bf16 in HBM
+    (update math still runs in the gradient dtype): the optimizer pass is
+    HBM-roofline-bound (~9 ms/step at 229M params — see README), and
+    halving the moments' bytes saves ~1.8 GB/step of traffic. Off by
+    default: fp32 state is what the torch-exact parity tests pin down."""
     def init_fn(params):
-        return _init_moments(params)
+        return _init_moments(params, state_dtype)
 
     def update_fn(updates, state, params=None):
         t = state.count + 1
         tf = t.astype(jnp.float32)
-        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+        mu = jax.tree.map(lambda m, g: b1 * m.astype(g.dtype) + (1 - b1) * g,
                           state.mu, updates)
-        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
-                          state.nu, updates)
+        nu = jax.tree.map(
+            lambda v, g: b2 * v.astype(g.dtype) + (1 - b2) * g * g,
+            state.nu, updates)
         beta2_t = b2 ** tf
         n_sma_max = 2.0 / (1 - b2) - 1.0
         n_sma = n_sma_max - 2.0 * tf * beta2_t / (1 - beta2_t)
@@ -59,16 +69,19 @@ def radam(learning_rate=1e-4, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0):
             return -delta
 
         new_updates = jax.tree.map(upd, mu, nu, params)
+        if state_dtype is not None:
+            mu = jax.tree.map(lambda m: m.astype(state_dtype), mu)
+            nu = jax.tree.map(lambda v: v.astype(state_dtype), nu)
         return new_updates, _MomentState(count=t, mu=mu, nu=nu)
 
     return optax.GradientTransformation(init_fn, update_fn)
 
 
 def torch_adam(learning_rate=1e-4, b1=0.9, b2=0.999, eps=1e-8,
-               weight_decay=0.0):
+               weight_decay=0.0, state_dtype=None):
     """torch.optim.Adam semantics (L2 weight decay added to the gradient)."""
     def init_fn(params):
-        return _init_moments(params)
+        return _init_moments(params, state_dtype)
 
     def update_fn(updates, state, params=None):
         if weight_decay != 0 and params is not None:
@@ -76,10 +89,11 @@ def torch_adam(learning_rate=1e-4, b1=0.9, b2=0.999, eps=1e-8,
                                    updates, params)
         t = state.count + 1
         tf = t.astype(jnp.float32)
-        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+        mu = jax.tree.map(lambda m, g: b1 * m.astype(g.dtype) + (1 - b1) * g,
                           state.mu, updates)
-        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
-                          state.nu, updates)
+        nu = jax.tree.map(
+            lambda v, g: b2 * v.astype(g.dtype) + (1 - b2) * g * g,
+            state.nu, updates)
         bias1 = 1 - b1 ** tf
         bias2 = 1 - b2 ** tf
         step = learning_rate / bias1
@@ -89,19 +103,31 @@ def torch_adam(learning_rate=1e-4, b1=0.9, b2=0.999, eps=1e-8,
             return -(step * m / denom)
 
         new_updates = jax.tree.map(upd, mu, nu)
+        if state_dtype is not None:
+            mu = jax.tree.map(lambda m: m.astype(state_dtype), mu)
+            nu = jax.tree.map(lambda v: v.astype(state_dtype), nu)
         return new_updates, _MomentState(count=t, mu=mu, nu=nu)
 
     return optax.GradientTransformation(init_fn, update_fn)
 
 
 def build_optimizer(optim_algo, learning_rate, weight_decay,
-                    grad_clip_val=0.0):
+                    grad_clip_val=0.0, state_dtype=None):
     """Optimizer chain matching the reference trainer (train.py:340-348,
-    417-420): optional global-norm clip then Adam/RAdam."""
+    417-420): optional global-norm clip then Adam/RAdam.
+
+    state_dtype: None (fp32 moments, torch-exact) or a dtype/str like
+    "bfloat16" — set via train_config.optim_state_dtype — to halve the
+    moment trees' HBM footprint and traffic."""
+    if isinstance(state_dtype, str):
+        state_dtype = jnp.dtype(state_dtype) if state_dtype and \
+            state_dtype != "float32" else None
     if optim_algo == "RAdam":
-        opt = radam(learning_rate, weight_decay=weight_decay)
+        opt = radam(learning_rate, weight_decay=weight_decay,
+                    state_dtype=state_dtype)
     elif optim_algo == "Adam":
-        opt = torch_adam(learning_rate, weight_decay=weight_decay)
+        opt = torch_adam(learning_rate, weight_decay=weight_decay,
+                         state_dtype=state_dtype)
     else:
         raise ValueError(f"Unrecognized optimizer {optim_algo}")
     if grad_clip_val and grad_clip_val > 0:

@@ -373,7 +373,7 @@ def train(config, output_directory, epochs, optim_algo, learning_rate,
           use_amp, grad_clip_val, loss_weights, binarization_start_iter=-1,
           kl_loss_start_iter=-1, unfreeze_modules="all", log_interval=1,
           profile_dir="", profile_start_iter=5, profile_n_iters=5,
-          **kwargs):
+          optim_state_dtype="", **kwargs):
     """use_amp=true runs the coupling predictor conv stacks in bfloat16
     (see make_train_step) — the TPU analogue of the reference's AMP
     autocast; fp32 stays pinned on the reference's autocast-false islands
@@ -429,8 +429,11 @@ def train(config, output_directory, epochs, optim_algo, learning_rate,
     rng, init_rng = jax.random.split(rng)
     params = radtts_init(init_rng, model_config)
 
+    # train_config.optim_state_dtype="bfloat16" halves the RAdam moment
+    # trees' HBM bytes — the optimizer pass is HBM-bound (docs/DESIGN §9)
     optimizer = build_optimizer(optim_algo, learning_rate, weight_decay,
-                                grad_clip_val)
+                                grad_clip_val,
+                                state_dtype=optim_state_dtype or None)
     trainable_mask = build_trainable_mask(params, unfreeze_modules,
                                           finetune_layers)
     opt_state = optimizer.init(params)

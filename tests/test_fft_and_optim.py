@@ -78,3 +78,50 @@ def test_reim_roundtrip_odd_nfft():
         a = np.asarray(audio)[0, n_fft: 3000 - n_fft]
         r = np.asarray(rec)[0, n_fft: 3000 - n_fft]
         np.testing.assert_allclose(r, a, rtol=1e-4, atol=1e-5)
+
+
+def test_radam_bf16_state():
+    """optim_state_dtype="bfloat16" keeps mu/nu in bf16 in HBM but must
+    track the fp32-state trajectory closely (update math runs in the grad
+    dtype) and survive an npz checkpoint round trip."""
+    from radtts_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from radtts_tpu.train.optim import build_optimizer
+
+    rng = np.random.default_rng(3)
+    w32 = jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32))
+    w16 = w32
+    opt32 = build_optimizer("RAdam", 1e-3, 1e-2, 1.0)
+    opt16 = build_optimizer("RAdam", 1e-3, 1e-2, 1.0,
+                            state_dtype="bfloat16")
+    s32, s16 = opt32.init(w32), opt16.init(w16)
+
+    # optax.chain wraps states in a tuple: (clip_state, moment_state)
+    flat16 = jax.tree_util.tree_leaves(s16)
+    assert all(x.dtype == jnp.bfloat16 for x in flat16
+               if x.ndim > 0), "moments must be bf16"
+
+    for step in range(6):
+        g = jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32))
+        u32, s32 = opt32.update(g, s32, w32)
+        u16, s16 = opt16.update(g, s16, w16)
+        assert u16.dtype == jnp.float32  # updates stay in grad dtype
+        w32 = w32 + u32
+        w16 = w16 + u16
+    # bf16 has ~3 decimal digits; trajectories must agree to that level
+    np.testing.assert_allclose(np.asarray(w16), np.asarray(w32),
+                               rtol=0, atol=2e-2)
+    diff = float(jnp.max(jnp.abs(w16 - w32)))
+    assert diff > 0  # sanity: the low-precision state actually differs
+
+    # checkpoint round trip preserves the bf16 state exactly
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/ck"
+        save_checkpoint(path, {"w": w16}, opt_state=s16, iteration=3)
+        params2, s16b, meta = load_checkpoint(
+            path, {"w": jnp.zeros_like(w16)}, opt_state_template=s16)
+        for a, b in zip(jax.tree_util.tree_leaves(s16),
+                        jax.tree_util.tree_leaves(s16b)):
+            assert a.dtype == b.dtype
+            np.testing.assert_array_equal(np.asarray(a.astype(jnp.float32)),
+                                          np.asarray(b.astype(jnp.float32)))
