@@ -76,7 +76,7 @@ def chip_peak_flops():
     return 197e12, kind  # assume v5e-class if unknown
 
 
-def main(use_amp, n_iters):
+def main(use_amp, n_iters, state_dtype=None):
     n_iters = max(2, n_iters)  # difference method needs two trip counts
     from contextlib import nullcontext
 
@@ -97,7 +97,8 @@ def main(use_amp, n_iters):
         cpu = None
     with jax.default_device(cpu) if cpu is not None else nullcontext():
         params = radtts_init(jax.random.PRNGKey(0), model_config)
-        optimizer = build_optimizer("RAdam", 1e-4, 1e-6, 1.0)
+        optimizer = build_optimizer("RAdam", 1e-4, 1e-6, 1.0,
+                                    state_dtype=state_dtype)
         mask = build_trainable_mask(params, "all", ())
         opt_state = optimizer.init(params)
         batch = _example_batch(0, B=B, N=N, T=T,
@@ -187,6 +188,7 @@ def main(use_amp, n_iters):
         "mfu_analytic": round(mfu_analytic, 4) if mfu_analytic else None,
         "device": kind,
         "amp": bool(use_amp),
+        "optim_state_dtype": str(state_dtype) if state_dtype else "float32",
         "raw_long_s": [round(x, 3) for x in t_long],
         "raw_short_s": [round(x, 3) for x in t_short],
     }))
@@ -197,5 +199,9 @@ if __name__ == "__main__":
     ap.add_argument("--amp", action="store_true",
                     help="bf16 activations outside the fp32 islands")
     ap.add_argument("-n", "--iters", type=int, default=10)
+    ap.add_argument("--bf16-state", action="store_true",
+                    help="bf16 RAdam moment trees (train_config."
+                         "optim_state_dtype=bfloat16)")
     args = ap.parse_args()
-    main(args.amp, args.iters)
+    main(args.amp, args.iters,
+         state_dtype="bfloat16" if args.bf16_state else None)
