@@ -58,9 +58,18 @@ def effective_weight(params):
 
 
 def _raw_conv(x, w, stride, padding, dilation):
+    pet = None
+    if w.dtype == jnp.bfloat16 and x.dtype == jnp.float32:
+        # bf16-stored weights (ops/fold_norms.py): feed the MXU bf16
+        # operands directly — the same truncation DEFAULT matmul precision
+        # applies to fp32 operands — and accumulate/emit fp32. The weight
+        # HBM reads halve; the dot results are unchanged.
+        pet = x.dtype
+        x = x.astype(w.dtype)
     return lax.conv_general_dilated(
         x, w, window_strides=(stride,), padding=[(padding, padding)],
-        rhs_dilation=(dilation,), dimension_numbers=_DIMNUMS)
+        rhs_dilation=(dilation,), dimension_numbers=_DIMNUMS,
+        preferred_element_type=pet)
 
 
 def conv1d_apply(params, x, *, stride=1, padding=0, dilation=1, mask=None,
@@ -72,7 +81,10 @@ def conv1d_apply(params, x, *, stride=1, padding=0, dilation=1, mask=None,
     mask is used, which still renormalizes windows that overlap zero padding
     (the reference relies on this border behavior).
     """
-    w = effective_weight(params).astype(x.dtype)
+    w = effective_weight(params)
+    if w.dtype != x.dtype and not (w.dtype == jnp.bfloat16
+                                   and x.dtype == jnp.float32):
+        w = w.astype(x.dtype)   # AMP: weights follow bf16 activations
     b = params.get("b")
 
     if not partial:

@@ -1,0 +1,72 @@
+"""Inference-time parameter folding (the reference's `remove_norms`,
+radtts.py:732-750, as a pure pytree transform).
+
+Training pytrees keep torch-compatible norm FACTORIZATIONS: conv weight
+norm stores (v, g) (reference common.py:121-154 via nn.utils.weight_norm)
+and LSTM spectral / weight norm stores (sn_w, sn_u, sn_v) / (wn_v, wn_g)
+(reference radtts.py:150-163). Every jitted inference call therefore
+re-collapses each factor on device: for one decode pass through the 8 WN
+coupling stacks that is a full extra read + write of ~100 MB of conv
+weights per flow, and scripts/profile_decode.py shows the decode stage is
+HBM-weight-traffic bound, not FLOP bound.
+
+`fold_norms` walks the pytree ONCE at load time and replaces every
+factorization with its effective weight — the same expressions
+`effective_weight` / `effective_hh` evaluate per call, so the math is
+unchanged (the reference's remove_norms has the same contract). With
+``matmul_dtype=jnp.bfloat16`` it additionally stores conv kernels in
+bf16: at DEFAULT matmul precision the TPU MXU truncates fp32 operands to
+bf16 anyway (docs/DESIGN.md section 9), so each dot's result is what the
+fp32-stored weight already produced, while the HBM weight reads halve.
+Numerically sensitive leaves keep fp32: invertible-1x1 factors and their
+precomputed inverses (HIGHEST-precision matmuls, ops/invertible.py),
+embeddings, biases, LSTM recurrences, and the whole text-encoder subtree
+(the reference runs it under autocast(False), common.py:341).
+"""
+
+import jax.numpy as jnp
+
+from radtts_tpu.ops.conv import effective_weight
+from radtts_tpu.ops.lstm import effective_hh
+
+# fp32 islands: subtrees never dtype-cast (collapse still applies).
+# "encoder" = the text encoder (reference common.py:341 autocast(False)).
+_NO_CAST_KEYS = ("encoder",)
+
+
+def fold_norms(params, matmul_dtype=None):
+    """Collapse norm factorizations in a param pytree; optionally store
+    conv kernels in `matmul_dtype` (bf16 halves weight HBM traffic).
+
+    Safe on any of this package's pytrees: only dicts matching the conv
+    weight-norm pattern ({v, g [, b]} with 3-D v), the LSTM hh-norm
+    patterns ({sn_w, sn_u, sn_v} / {wn_v, wn_g}), or plain 3-D conv
+    kernels ({w [, b]}) are rewritten; everything else (invertible-1x1
+    groups, embeddings, "_meta" statics) passes through untouched.
+    """
+
+    def walk(node, cast):
+        if isinstance(node, dict):
+            if "v" in node and "g" in node and getattr(
+                    node["v"], "ndim", 0) == 3:
+                out = {"w": effective_weight(node)}
+                if "b" in node:
+                    out["b"] = node["b"]
+            elif "sn_w" in node or ("wn_v" in node and "wn_g" in node):
+                return {"w": effective_hh(node)}
+            elif (set(node) <= {"w", "b"} and "w" in node
+                    and getattr(node["w"], "ndim", 0) == 3):
+                out = dict(node)
+            else:
+                return {k: (v if k == "_meta"
+                            else walk(v, cast and k not in _NO_CAST_KEYS))
+                        for k, v in node.items()}
+            if (cast and matmul_dtype is not None
+                    and out["w"].dtype == jnp.float32):
+                out["w"] = out["w"].astype(matmul_dtype)
+            return out
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v, cast) for v in node)
+        return node
+
+    return walk(params, True)

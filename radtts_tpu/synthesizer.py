@@ -31,6 +31,7 @@ from radtts_tpu.models.hifigan import (denoiser_apply,
 from radtts_tpu.models.radtts import (infer_durations, radtts_infer,
                                       radtts_init)
 from radtts_tpu.ops import amp as _amp
+from radtts_tpu.ops.fold_norms import fold_norms
 from radtts_tpu.ops.invertible import precompute_inverses
 from radtts_tpu.train.checkpoint import load_any_radtts_checkpoint
 from radtts_tpu.vocoder_io import load_vocoder
@@ -48,7 +49,7 @@ class Synthesizer:
                  vocoder_config_path, *, use_amp=False, seed=1234,
                  token_dur_scaling=1.0, token_duration_max=100,
                  f0_mean=0.0, f0_std=0.0, energy_mean=0.0, energy_std=0.0,
-                 bucket_single=False, data_parallel=1):
+                 bucket_single=False, data_parallel=1, weight_dtype=None):
         model_config = config["model_config"]
         data_config = config["data_config"]
 
@@ -70,7 +71,8 @@ class Synthesizer:
             seed=seed, token_dur_scaling=token_dur_scaling,
             token_duration_max=token_duration_max, f0_mean=f0_mean,
             f0_std=f0_std, energy_mean=energy_mean, energy_std=energy_std,
-            bucket_single=bucket_single, data_parallel=data_parallel)
+            bucket_single=bucket_single, data_parallel=data_parallel,
+            weight_dtype=weight_dtype)
 
     @classmethod
     def from_parts(cls, model_config, params, vocoder, denoiser, *,
@@ -78,7 +80,8 @@ class Synthesizer:
                    hop_length=256, use_amp=False, seed=1234,
                    token_dur_scaling=1.0, token_duration_max=100,
                    f0_mean=0.0, f0_std=0.0, energy_mean=0.0,
-                   energy_std=0.0, bucket_single=False, data_parallel=1):
+                   energy_std=0.0, bucket_single=False, data_parallel=1,
+                   weight_dtype=None):
         """Build from in-memory objects (no checkpoint files): for tests
         and for embedding the engine next to a training loop (e.g. sample
         from params mid-fine-tune). `params` should already contain or be
@@ -95,13 +98,14 @@ class Synthesizer:
                     token_duration_max=token_duration_max, f0_mean=f0_mean,
                     f0_std=f0_std, energy_mean=energy_mean,
                     energy_std=energy_std, bucket_single=bucket_single,
-                    data_parallel=data_parallel)
+                    data_parallel=data_parallel, weight_dtype=weight_dtype)
         return self
 
     def _setup(self, model_config, params, vocoder, denoiser, *, encode_fn,
                speaker_id_fn, sampling_rate, hop_length, use_amp, seed,
                token_dur_scaling, token_duration_max, f0_mean, f0_std,
-               energy_mean, energy_std, bucket_single, data_parallel=1):
+               energy_mean, energy_std, bucket_single, data_parallel=1,
+               weight_dtype=None):
         self.model_config = model_config
         self.sampling_rate = sampling_rate
         self.hop_length = hop_length
@@ -142,7 +146,15 @@ class Synthesizer:
         else:
             self.mesh = self._dp_sharding = self._repl = None
         self.vocoder, self.denoiser = vocoder, denoiser
-        self.params = precompute_inverses(params)
+        # fold norm factorizations once at load (exact — the reference's
+        # remove_norms, radtts.py:732-750); --bf16_weights additionally
+        # stores conv kernels bf16 (ops/fold_norms.py: halves the decode
+        # stage's HBM weight traffic; dots already ride the bf16 MXU path
+        # at DEFAULT precision)
+        md = (jnp.bfloat16 if weight_dtype in ("bfloat16", jnp.bfloat16)
+              else None)
+        self.params = fold_norms(precompute_inverses(params),
+                                 matmul_dtype=md)
         if self._repl is not None:
             self.params = jax.device_put(self.params, self._repl)
         self._encode_fn = encode_fn
