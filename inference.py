@@ -38,7 +38,7 @@ def infer(radtts_path, vocoder_path, vocoder_config_path, text_path,
           sigma_f0, sigma_energy, f0_mean, f0_std, energy_mean, energy_std,
           token_dur_scaling, denoising_strength, n_takes, output_dir,
           use_amp, plot, seed, config, batch_size=1, long_text_chunk=0,
-          chunk_gap_ms=120.0, data_parallel=1):
+          chunk_gap_ms=120.0, data_parallel=1, weight_dtype="auto"):
     from radtts_tpu.synthesizer import Synthesizer
 
     # --use_amp: the model stages trace under the bf16 scope (coupling
@@ -49,7 +49,9 @@ def infer(radtts_path, vocoder_path, vocoder_config_path, text_path,
         config, radtts_path, vocoder_path, vocoder_config_path,
         use_amp=use_amp, seed=seed, token_dur_scaling=token_dur_scaling,
         f0_mean=f0_mean, f0_std=f0_std, energy_mean=energy_mean,
-        energy_std=energy_std, data_parallel=data_parallel)
+        energy_std=energy_std, data_parallel=data_parallel,
+        weight_dtype=weight_dtype)
+    print(f"weight storage: {synth.weight_dtype}")
     print(f"Loaded checkpoint '{radtts_path}'")
     sr = synth.sampling_rate
 
@@ -179,6 +181,14 @@ if __name__ == "__main__":
                         help="shard each synthesis batch over this many "
                              "devices (weights replicated); combine with "
                              "--batch_size for serving-scale throughput")
+    parser.add_argument("--weight_dtype", default="auto",
+                        choices=["auto", "float32", "bfloat16"],
+                        help="inference weight storage after norm folding "
+                             "(ops/fold_norms.py). 'bfloat16' halves conv-"
+                             "weight HBM traffic; on TPU at default matmul "
+                             "precision the outputs are bit-equal to "
+                             "float32 storage, so 'auto' picks bfloat16 "
+                             "exactly there and float32 elsewhere")
     parser.add_argument("--use_amp", action="store_true")
     parser.add_argument("--matmul_precision", default=None,
                         choices=["default", "high", "highest"],
@@ -207,4 +217,5 @@ if __name__ == "__main__":
           args.denoising_strength, args.n_takes, args.output_dir,
           args.use_amp, args.plot, args.seed, config,
           batch_size=args.batch_size, long_text_chunk=args.long_text_chunk,
-          chunk_gap_ms=args.chunk_gap_ms, data_parallel=args.data_parallel)
+          chunk_gap_ms=args.chunk_gap_ms, data_parallel=args.data_parallel,
+          weight_dtype=args.weight_dtype)

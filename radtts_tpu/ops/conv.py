@@ -63,7 +63,11 @@ def _raw_conv(x, w, stride, padding, dilation):
         # bf16-stored weights (ops/fold_norms.py): feed the MXU bf16
         # operands directly — the same truncation DEFAULT matmul precision
         # applies to fp32 operands — and accumulate/emit fp32. The weight
-        # HBM reads halve; the dot results are unchanged.
+        # HBM reads halve. TPU-ONLY equivalence: on TPU at DEFAULT
+        # precision the dot results match the fp32-stored weights (the MXU
+        # truncates to bf16 either way; asserted on-chip by
+        # tests/test_bf16_weights.py); on CPU/GPU backends DEFAULT fp32
+        # convs do NOT truncate, so this path changes results there.
         pet = x.dtype
         x = x.astype(w.dtype)
     return lax.conv_general_dilated(

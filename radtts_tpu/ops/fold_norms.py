@@ -45,14 +45,28 @@ def fold_norms(params, matmul_dtype=None):
     groups, embeddings, "_meta" statics) passes through untouched.
     """
 
+    def check(node, allowed):
+        # a matched pattern must contain EXACTLY the expected keys: the
+        # rewrite replaces the whole dict, so an unexpected sibling key
+        # would be silently dropped — fail loudly instead
+        extra = set(node) - allowed
+        if extra:
+            raise ValueError(
+                f"fold_norms: dict matching pattern {sorted(allowed)} "
+                f"carries unexpected keys {sorted(extra)}; refusing to "
+                "drop them")
+
     def walk(node, cast):
         if isinstance(node, dict):
             if "v" in node and "g" in node and getattr(
                     node["v"], "ndim", 0) == 3:
+                check(node, {"v", "g", "b"})
                 out = {"w": effective_weight(node)}
                 if "b" in node:
                     out["b"] = node["b"]
             elif "sn_w" in node or ("wn_v" in node and "wn_g" in node):
+                check(node, {"sn_w", "sn_u", "sn_v"} if "sn_w" in node
+                      else {"wn_v", "wn_g"})
                 return {"w": effective_hh(node)}
             elif (set(node) <= {"w", "b"} and "w" in node
                     and getattr(node["w"], "ndim", 0) == 3):

@@ -147,14 +147,24 @@ class Synthesizer:
             self.mesh = self._dp_sharding = self._repl = None
         self.vocoder, self.denoiser = vocoder, denoiser
         # fold norm factorizations once at load (exact — the reference's
-        # remove_norms, radtts.py:732-750); --bf16_weights additionally
-        # stores conv kernels bf16 (ops/fold_norms.py: halves the decode
-        # stage's HBM weight traffic; dots already ride the bf16 MXU path
-        # at DEFAULT precision)
-        md = (jnp.bfloat16 if weight_dtype in ("bfloat16", jnp.bfloat16)
-              else None)
-        self.params = fold_norms(precompute_inverses(params),
-                                 matmul_dtype=md)
+        # remove_norms, radtts.py:732-750); --weight_dtype bfloat16
+        # additionally stores conv kernels bf16 (ops/fold_norms.py: halves
+        # the decode stage's HBM weight traffic; dots already ride the
+        # bf16 MXU path at DEFAULT precision, so on TPU the outputs are
+        # BIT-EQUAL to fp32 storage — asserted on chip by
+        # scripts/ab_fold_bf16.py). "auto" (the CLI default) resolves to
+        # bfloat16 exactly where that equivalence holds: a TPU backend at
+        # DEFAULT matmul precision; anywhere else it stays float32
+        # (CPU/GPU fp32 convs do not truncate, and HIGH/HIGHEST-precision
+        # runs asked for full fp32 dots).
+        self.weight_dtype = self._resolve_weight_dtype(weight_dtype)
+        md = (jnp.bfloat16 if self.weight_dtype == "bfloat16" else None)
+        # one jitted program for the whole load-time rewrite: eager
+        # leaf-by-leaf folding costs one tunneled dispatch per norm
+        # collapse (same rationale as the jitted precompute_inverses)
+        self.params = jax.jit(
+            lambda p: fold_norms(precompute_inverses(p), matmul_dtype=md)
+        )(params)
         if self._repl is not None:
             self.params = jax.device_put(self.params, self._repl)
         self._encode_fn = encode_fn
@@ -170,6 +180,27 @@ class Synthesizer:
         from collections import OrderedDict
         self._decode_cache = OrderedDict()
         self._decode_cache_max = 32
+
+    @staticmethod
+    def _resolve_weight_dtype(weight_dtype):
+        """Normalize the weight_dtype knob to 'float32' | 'bfloat16'.
+
+        None/'auto' -> 'bfloat16' only on a TPU backend running at
+        DEFAULT matmul precision (where bf16 storage is bit-equal to
+        fp32 storage, ops/fold_norms.py); 'float32'/'bfloat16' force."""
+        if weight_dtype in ("float32", jnp.float32):
+            return "float32"
+        if weight_dtype in ("bfloat16", jnp.bfloat16):
+            return "bfloat16"
+        if weight_dtype not in (None, "auto"):
+            raise ValueError(f"weight_dtype={weight_dtype!r}: expected "
+                             "'auto', 'float32' or 'bfloat16'")
+        dev = jax.devices()[0]
+        on_tpu = (dev.platform == "tpu"
+                  or "TPU" in str(getattr(dev, "device_kind", "")))
+        precision_default = jax.config.jax_default_matmul_precision in (
+            None, "default")
+        return ("bfloat16" if on_tpu and precision_default else "float32")
 
     def _put(self, x):
         """Shard a batch-leading array over the data mesh (identity when

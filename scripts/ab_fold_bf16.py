@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Decode-stage A/B: factorized params (bench status quo) vs fold_norms
+fp32 vs fold_norms bf16 weight storage, at flagship size on the real chip.
+
+Two questions (VERDICT r04 item 1):
+  1. parity — is the decode output with bf16-stored folded weights
+     BIT-EQUAL to the fp32-stored folded output at DEFAULT matmul
+     precision (the ops/fold_norms.py claim: the MXU truncates fp32
+     operands to bf16 anyway)? Also: folded-fp32 vs factorized.
+  2. speed — what does each variant cost, scan-difference timed at both
+     unroll=1 and unroll=8 (the bench's refined decode method)?
+
+Run ON THE CHIP (no JAX_PLATFORMS=cpu). Prints a summary table.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from radtts_tpu.compile_cache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache(
+    default_path=os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache"), cache_everything=True)
+
+from __graft_entry__ import _flagship_model_config  # noqa: E402
+from radtts_tpu.models.radtts import (_radtts_init_impl,  # noqa: E402
+                                      radtts_infer)
+from radtts_tpu.ops.fold_norms import fold_norms  # noqa: E402
+from radtts_tpu.ops.invertible import precompute_inverses  # noqa: E402
+from radtts_tpu.ops.lstm import unroll_scope  # noqa: E402
+
+N_ITERS = 10
+ROUNDS = 5
+MAX_FRAMES = 608
+
+
+def main():
+    model_config = _flagship_model_config(small=False)
+    dev = jax.devices()[0]
+    print(f"# on {dev}", file=sys.stderr, flush=True)
+
+    def _init(seed):
+        p = _radtts_init_impl(jax.random.PRNGKey(seed), model_config)
+        return precompute_inverses(p)
+
+    params = jax.jit(_init)(jnp.int32(0))
+    jax.block_until_ready(params["embedding"]["table"])
+    p_fold32 = jax.jit(lambda p: fold_norms(p))(params)
+    p_fold16 = jax.jit(
+        lambda p: fold_norms(p, matmul_dtype=jnp.bfloat16))(params)
+    print("# params ready (factorized / fold32 / fold16)", file=sys.stderr,
+          flush=True)
+
+    from contextlib import nullcontext
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    rng_fix = np.random.default_rng(0)
+    N = 160
+    with jax.default_device(cpu) if cpu is not None else nullcontext():
+        speaker = jnp.zeros((1,), jnp.int32)
+        text_ids = jnp.asarray(
+            rng_fix.integers(1, 180, size=(1, N)).astype(np.int64))
+        keys = jax.random.split(jax.random.PRNGKey(2), N_ITERS)
+        dur0 = jnp.full((1, N), MAX_FRAMES // N, jnp.int32)
+        dur0 = dur0.at[:, -1].add(MAX_FRAMES - int(jnp.sum(dur0)))
+        chain0 = jnp.zeros((), jnp.float32)
+        one, ten = jnp.int32(1), jnp.int32(N_ITERS)
+    (speaker, text_ids, keys, dur0, chain0, one, ten) = jax.device_put(
+        (speaker, text_ids, keys, dur0, chain0, one, ten), dev)
+
+    # ---- parity: one decode call per variant, same rng key -------------
+    @jax.jit
+    def decode_once(p, key):
+        out = radtts_infer(p, key, speaker, text_ids, 0.8, MAX_FRAMES,
+                           dur=dur0, sigma_f0=1.0, sigma_energy=1.0)
+        return out["mel"]
+
+    k = jax.device_put(jax.random.PRNGKey(7), dev)
+    mel_fac = np.asarray(decode_once(params, k))
+    mel_f32 = np.asarray(decode_once(p_fold32, k))
+    mel_f16 = np.asarray(decode_once(p_fold16, k))
+    scale = float(np.max(np.abs(mel_f32)))
+    print(f"parity scale(max|mel|)={scale:.3f}")
+    print(f"parity factorized-vs-fold32: max|d|="
+          f"{np.max(np.abs(mel_fac - mel_f32)):.3e}")
+    print(f"parity fold32-vs-fold16:     max|d|="
+          f"{np.max(np.abs(mel_f32 - mel_f16)):.3e}  bit_equal="
+          f"{bool((mel_f32 == mel_f16).all())}")
+
+    # ---- timing: scan-difference per variant ----------------------------
+    def scan_program(p):
+        @jax.jit
+        def run(n_active, chain, pp):
+            def body(c, inp):
+                i, key = inp
+
+                def go(cc):
+                    out = radtts_infer(
+                        pp, jax.random.fold_in(
+                            key, (jnp.abs(cc) * 1e-30).astype(jnp.int32)),
+                        speaker, text_ids, 0.8, MAX_FRAMES, dur=dur0,
+                        sigma_f0=1.0, sigma_energy=1.0)
+                    return cc + jnp.sum(out["mel"][0, :2, :2]) * 1e-30
+                return lax.cond(i < n_active, go, lambda cc: cc, c), ()
+            return lax.scan(body, chain, (jnp.arange(N_ITERS), keys))[0]
+        return run
+
+    def timecall(run, n, p):
+        tic = time.perf_counter()
+        float(run(n, chain0, p))
+        return time.perf_counter() - tic
+
+    variants = [("factorized", params), ("fold32", p_fold32),
+                ("fold16", p_fold16)]
+    for unroll in (1, 8):
+        runs = []
+        with unroll_scope(unroll):
+            for name, p in variants:
+                r = scan_program(p)
+                t = timecall(r, one, p)
+                print(f"# u{unroll} {name} compile+first {t:.1f}s",
+                      file=sys.stderr, flush=True)
+                runs.append((name, r, p))
+        t_long = {n: [] for n, _, _ in runs}
+        t_short = {n: [] for n, _, _ in runs}
+        for _ in range(ROUNDS):
+            for name, r, p in runs:
+                t_long[name].append(timecall(r, ten, p))
+                t_short[name].append(timecall(r, one, p))
+        for name, _, _ in runs:
+            per = (min(t_long[name]) - min(t_short[name])) / (N_ITERS - 1)
+            print(f"u{unroll} {name}: {per * 1e3:.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -319,6 +319,12 @@ def main():
                          "ms ride one device dispatch (0 = off)")
     ap.add_argument("--max_batch", default=8, type=int,
                     help="micro-batching cap per dispatch")
+    ap.add_argument("--weight_dtype", default="auto",
+                    choices=["auto", "float32", "bfloat16"],
+                    help="inference weight storage after norm folding: "
+                         "'auto' = bfloat16 on TPU at default matmul "
+                         "precision (bit-equal, halves conv-weight HBM "
+                         "traffic), float32 elsewhere")
     ap.add_argument("--use_amp", action="store_true")
     ap.add_argument("--matmul_precision", default=None,
                     choices=["default", "high", "highest"])
@@ -358,8 +364,10 @@ def main():
         # single texts pad to the batch path's 16-token buckets (padded ==
         # exact) so a long-running server compiles a BOUNDED set of
         # text-length programs, not one per distinct request length
-        bucket_single=True, data_parallel=args.data_parallel)
-    print(f"[serve] loaded '{args.radtts_path}'", flush=True)
+        bucket_single=True, data_parallel=args.data_parallel,
+        weight_dtype=args.weight_dtype)
+    print(f"[serve] loaded '{args.radtts_path}' "
+          f"(weights {synth.weight_dtype})", flush=True)
 
     defaults = {"sigma": args.sigma, "sigma_tkndur": args.sigma_tkndur,
                 "sigma_f0": args.sigma_f0, "sigma_energy": args.sigma_energy,

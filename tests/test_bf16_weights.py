@@ -1,0 +1,176 @@
+"""bf16 weight-storage lever (ops/fold_norms.py matmul_dtype): structure,
+conv plumbing, and end-to-end behavior of Synthesizer weight_dtype.
+
+The BIT-equality claim (bf16-stored folded weights == fp32-stored at
+DEFAULT matmul precision) is TPU-only — the MXU truncates fp32 operands
+to bf16 either way — and is asserted on the real chip by
+scripts/ab_fold_bf16.py (run each round; result quoted in README). This
+suite runs on CPU, where fp32 convs do NOT truncate, so it checks what
+CAN hold here: the folded tree's dtype layout, the conv fast path's
+operand handling, and that a bf16-stored model stays close to fp32.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from radtts_tpu.models.radtts import radtts_init
+from radtts_tpu.ops.conv import conv1d_apply
+from radtts_tpu.ops.fold_norms import fold_norms
+from radtts_tpu.ops.invertible import precompute_inverses
+from tests.small_model import MODEL_CONFIG
+
+
+def _leaves_with_paths(tree):
+    return jax.tree_util.tree_flatten_with_path(tree)[0]
+
+
+def test_fold_norms_bf16_dtype_layout():
+    params = precompute_inverses(
+        radtts_init(jax.random.PRNGKey(0), MODEL_CONFIG))
+    folded = fold_norms(params, matmul_dtype=jnp.bfloat16)
+
+    n_bf16 = n_fp32_conv = 0
+    for path, leaf in _leaves_with_paths(folded):
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        if not hasattr(leaf, "dtype"):
+            continue
+        # no factorization key may survive the fold
+        assert not ({"v", "g", "sn_w", "sn_u", "sn_v", "wn_v", "wn_g"}
+                    & set(k for k in keys if isinstance(k, str))), path
+        if leaf.dtype == jnp.bfloat16:
+            n_bf16 += 1
+            # only 3-D conv kernels named 'w', never inside the encoder
+            # fp32 island, never biases/embeddings/inverses
+            assert keys[-1] == "w" and leaf.ndim == 3, path
+            assert "encoder" not in keys, path
+        elif keys[-1] == "w" and leaf.ndim == 3:
+            n_fp32_conv += 1
+            assert "encoder" in keys, path
+    assert n_bf16 > 10          # the decoder flows are full of convs
+    assert n_fp32_conv > 0      # ...and the encoder island kept fp32
+
+    # embeddings and invertible-1x1 factors stay fp32
+    assert folded["embedding"]["table"].dtype == jnp.float32
+    flows = folded["flows"]
+    assert all(
+        leaf.dtype == jnp.float32
+        for _, leaf in _leaves_with_paths(flows[0]["inv"])
+        if hasattr(leaf, "dtype"))
+
+
+def test_fold_norms_without_dtype_is_exact():
+    params = precompute_inverses(
+        radtts_init(jax.random.PRNGKey(0), MODEL_CONFIG))
+    folded = fold_norms(params)
+    for _, leaf in _leaves_with_paths(folded):
+        if hasattr(leaf, "dtype"):
+            assert leaf.dtype == jnp.float32
+
+
+def test_fold_norms_rejects_unknown_sibling():
+    v = jnp.ones((3, 4, 5))
+    tree = {"layer": {"v": v, "g": jnp.ones((5,)), "b": jnp.zeros((5,)),
+                      "extra": jnp.ones((2,))}}
+    with pytest.raises(ValueError, match="unexpected keys.*extra"):
+        fold_norms(tree)
+    tree_lstm = {"hh": {"wn_v": jnp.ones((8, 2)), "wn_g": jnp.ones(()),
+                        "stray": jnp.ones((1,))}}
+    with pytest.raises(ValueError, match="unexpected keys.*stray"):
+        fold_norms(tree_lstm)
+
+
+def test_conv_bf16_fast_path_semantics():
+    """conv1d_apply with a bf16-stored kernel must compute
+    conv(bf16(x), w_bf16) accumulated in fp32 — i.e. both operands ride
+    the MXU bf16 path and the output dtype stays fp32."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 17, 8)).astype(np.float32))
+    w32 = jnp.asarray(rng.standard_normal((3, 8, 6)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(6).astype(np.float32))
+    w16 = w32.astype(jnp.bfloat16)
+
+    got = conv1d_apply({"w": w16, "b": b}, x, padding=1)
+    assert got.dtype == jnp.float32
+
+    want = lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), w16, window_strides=(1,),
+        padding=[(1, 1)], dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32) + b
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def _mk_synth(weight_dtype):
+    from radtts_tpu.models.hifigan import (denoiser_init,
+                                           hifigan_generator_init)
+    from radtts_tpu.synthesizer import Synthesizer
+
+    cfg = dict(MODEL_CONFIG, n_mel_channels=80)
+    params = radtts_init(jax.random.PRNGKey(0), cfg)
+    voc = hifigan_generator_init(jax.random.PRNGKey(1), {
+        "resblock": "1", "upsample_rates": [8, 8, 2, 2],
+        "upsample_kernel_sizes": [16, 16, 4, 4],
+        "upsample_initial_channel": 64,
+        "resblock_kernel_sizes": [3, 7, 11],
+        "resblock_dilation_sizes": [[1, 3, 5]] * 3})
+    den = denoiser_init(voc)
+    return Synthesizer.from_parts(
+        cfg, params, voc, den,
+        encode_fn=lambda t: np.array([ord(c) % 150 + 1 for c in t],
+                                     np.int64),
+        speaker_id_fn=lambda name: 0, seed=11,
+        weight_dtype=weight_dtype)
+
+
+def test_synthesizer_weight_dtype_auto_resolution():
+    from radtts_tpu.synthesizer import Synthesizer
+
+    # the suite runs on CPU (conftest): auto must resolve to float32
+    assert Synthesizer._resolve_weight_dtype("auto") == "float32"
+    assert Synthesizer._resolve_weight_dtype(None) == "float32"
+    assert Synthesizer._resolve_weight_dtype("bfloat16") == "bfloat16"
+    assert Synthesizer._resolve_weight_dtype(jnp.float32) == "float32"
+    with pytest.raises(ValueError, match="weight_dtype"):
+        Synthesizer._resolve_weight_dtype("fp8")
+
+
+def test_synthesizer_bf16_weights_close_to_fp32():
+    s32 = _mk_synth("float32")
+    s16 = _mk_synth("bfloat16")
+    assert s16.weight_dtype == "bfloat16"
+
+    # bf16 kernels actually landed in the live param tree
+    assert any(leaf.dtype == jnp.bfloat16
+               for _, leaf in _leaves_with_paths(s16.params)
+               if hasattr(leaf, "dtype"))
+
+    text = "The bf16 weight storage path."
+    w16, _aux16 = s16.synthesize(text, "spk", denoising_strength=0.01)
+    assert np.isfinite(w16[0]).all()
+
+    # Controlled comparison: decode with FIXED durations (predicted
+    # integer durations sit on rounding knife-edges for an untrained
+    # random model, so end-to-end lengths may legitimately differ on
+    # CPU where the TPU bit-equality does not hold — by design). The
+    # bf16-vs-fp32 storage claim is about the decode compute path, so
+    # pin dur and compare mels.
+    from radtts_tpu.models.radtts import radtts_infer
+    n_tok, frames = 24, 96
+    text_ids = jnp.asarray(
+        np.random.default_rng(5).integers(1, 150, (1, n_tok)))
+    dur = jnp.full((1, n_tok), frames // n_tok, jnp.int32)
+    spk = jnp.zeros((1,), jnp.int32)
+    key = jax.random.PRNGKey(9)
+    mel32 = np.asarray(radtts_infer(
+        s32.params, key, spk, text_ids, 0.8, frames, dur=dur,
+        sigma_f0=1.0, sigma_energy=1.0)["mel"])
+    mel16 = np.asarray(radtts_infer(
+        s16.params, key, spk, text_ids, 0.8, frames, dur=dur,
+        sigma_f0=1.0, sigma_energy=1.0)["mel"])
+    assert np.isfinite(mel16).all()
+    scale = max(float(np.max(np.abs(mel32))), 1e-6)
+    rel = float(np.max(np.abs(mel32 - mel16))) / scale
+    assert rel < 0.05, rel
