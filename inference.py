@@ -38,7 +38,8 @@ def infer(radtts_path, vocoder_path, vocoder_config_path, text_path,
           sigma_f0, sigma_energy, f0_mean, f0_std, energy_mean, energy_std,
           token_dur_scaling, denoising_strength, n_takes, output_dir,
           use_amp, plot, seed, config, batch_size=1, long_text_chunk=0,
-          chunk_gap_ms=120.0, data_parallel=1, weight_dtype="auto"):
+          chunk_gap_ms=120.0, data_parallel=1, weight_dtype="auto",
+          aot_dir=""):
     from radtts_tpu.synthesizer import Synthesizer
 
     # --use_amp: the model stages trace under the bf16 scope (coupling
@@ -50,7 +51,7 @@ def infer(radtts_path, vocoder_path, vocoder_config_path, text_path,
         use_amp=use_amp, seed=seed, token_dur_scaling=token_dur_scaling,
         f0_mean=f0_mean, f0_std=f0_std, energy_mean=energy_mean,
         energy_std=energy_std, data_parallel=data_parallel,
-        weight_dtype=weight_dtype)
+        weight_dtype=weight_dtype, aot_dir=aot_dir)
     print(f"weight storage: {synth.weight_dtype}")
     print(f"Loaded checkpoint '{radtts_path}'")
     sr = synth.sampling_rate
@@ -184,11 +185,19 @@ if __name__ == "__main__":
     parser.add_argument("--weight_dtype", default="auto",
                         choices=["auto", "float32", "bfloat16"],
                         help="inference weight storage after norm folding "
-                             "(ops/fold_norms.py). 'bfloat16' halves conv-"
-                             "weight HBM traffic; on TPU at default matmul "
-                             "precision the outputs are bit-equal to "
-                             "float32 storage, so 'auto' picks bfloat16 "
-                             "exactly there and float32 elsewhere")
+                             "(ops/fold_norms.py). 'bfloat16' halves the "
+                             "resident conv-weight bytes and is bit-equal "
+                             "to float32 storage on TPU at default matmul "
+                             "precision, but measured NOT faster "
+                             "(scripts/ab_fold_bf16.py: 3.47 vs 3.29 ms "
+                             "decode) — 'auto' = float32")
+    parser.add_argument("--aot_dir", default="",
+                        help="directory of serialized compiled "
+                             "executables (radtts_tpu/aot_store.py); "
+                             "repeated CLI runs at the same shapes skip "
+                             "the tunnel compile. Off by default (one-"
+                             "shot runs rarely repeat exact shapes); "
+                             "serve.py defaults it ON. TPU only")
     parser.add_argument("--use_amp", action="store_true")
     parser.add_argument("--matmul_precision", default=None,
                         choices=["default", "high", "highest"],
@@ -218,4 +227,4 @@ if __name__ == "__main__":
           args.use_amp, args.plot, args.seed, config,
           batch_size=args.batch_size, long_text_chunk=args.long_text_chunk,
           chunk_gap_ms=args.chunk_gap_ms, data_parallel=args.data_parallel,
-          weight_dtype=args.weight_dtype)
+          weight_dtype=args.weight_dtype, aot_dir=args.aot_dir)

@@ -49,7 +49,8 @@ class Synthesizer:
                  vocoder_config_path, *, use_amp=False, seed=1234,
                  token_dur_scaling=1.0, token_duration_max=100,
                  f0_mean=0.0, f0_std=0.0, energy_mean=0.0, energy_std=0.0,
-                 bucket_single=False, data_parallel=1, weight_dtype=None):
+                 bucket_single=False, data_parallel=1, weight_dtype=None,
+                 aot_dir=None):
         model_config = config["model_config"]
         data_config = config["data_config"]
 
@@ -72,7 +73,7 @@ class Synthesizer:
             token_duration_max=token_duration_max, f0_mean=f0_mean,
             f0_std=f0_std, energy_mean=energy_mean, energy_std=energy_std,
             bucket_single=bucket_single, data_parallel=data_parallel,
-            weight_dtype=weight_dtype)
+            weight_dtype=weight_dtype, aot_dir=aot_dir)
 
     @classmethod
     def from_parts(cls, model_config, params, vocoder, denoiser, *,
@@ -81,7 +82,7 @@ class Synthesizer:
                    token_dur_scaling=1.0, token_duration_max=100,
                    f0_mean=0.0, f0_std=0.0, energy_mean=0.0,
                    energy_std=0.0, bucket_single=False, data_parallel=1,
-                   weight_dtype=None):
+                   weight_dtype=None, aot_dir=None):
         """Build from in-memory objects (no checkpoint files): for tests
         and for embedding the engine next to a training loop (e.g. sample
         from params mid-fine-tune). `params` should already contain or be
@@ -98,14 +99,15 @@ class Synthesizer:
                     token_duration_max=token_duration_max, f0_mean=f0_mean,
                     f0_std=f0_std, energy_mean=energy_mean,
                     energy_std=energy_std, bucket_single=bucket_single,
-                    data_parallel=data_parallel, weight_dtype=weight_dtype)
+                    data_parallel=data_parallel, weight_dtype=weight_dtype,
+                    aot_dir=aot_dir)
         return self
 
     def _setup(self, model_config, params, vocoder, denoiser, *, encode_fn,
                speaker_id_fn, sampling_rate, hop_length, use_amp, seed,
                token_dur_scaling, token_duration_max, f0_mean, f0_std,
                energy_mean, energy_std, bucket_single, data_parallel=1,
-               weight_dtype=None):
+               weight_dtype=None, aot_dir=None):
         self.model_config = model_config
         self.sampling_rate = sampling_rate
         self.hop_length = hop_length
@@ -147,30 +149,48 @@ class Synthesizer:
             self.mesh = self._dp_sharding = self._repl = None
         self.vocoder, self.denoiser = vocoder, denoiser
         # fold norm factorizations once at load (exact — the reference's
-        # remove_norms, radtts.py:732-750); --weight_dtype bfloat16
-        # additionally stores conv kernels bf16 (ops/fold_norms.py: halves
-        # the decode stage's HBM weight traffic; dots already ride the
-        # bf16 MXU path at DEFAULT precision, so on TPU the outputs are
-        # BIT-EQUAL to fp32 storage — asserted on chip by
-        # scripts/ab_fold_bf16.py). "auto" (the CLI default) resolves to
-        # bfloat16 exactly where that equivalence holds: a TPU backend at
-        # DEFAULT matmul precision; anywhere else it stays float32
-        # (CPU/GPU fp32 convs do not truncate, and HIGH/HIGHEST-precision
-        # runs asked for full fp32 dots).
+        # remove_norms, radtts.py:732-750; measured on chip: BIT-EQUAL to
+        # the factorized tree and 16% faster decode, 3.29 vs 3.92 ms,
+        # scripts/ab_fold_bf16.py). --weight_dtype bfloat16 additionally
+        # stores conv kernels bf16: also bit-equal on TPU at DEFAULT
+        # matmul precision, but measured NOT faster (3.47 ms) — see
+        # _resolve_weight_dtype for why it stays an opt-in footprint
+        # lever rather than the 'auto' default.
         self.weight_dtype = self._resolve_weight_dtype(weight_dtype)
         md = (jnp.bfloat16 if self.weight_dtype == "bfloat16" else None)
+        # aot_dir: persist compiled stage executables to disk and reload
+        # them in later processes (radtts_tpu/aot_store.py — the bench.py
+        # .bench_aot mechanism, now on the serving path). Kills the cold
+        # TTFA: a fresh serve.py process loads executables in ~1 s
+        # instead of re-compiling every stage through the tunnel
+        # (measured 51.4 s cold, scripts/measure_ttfa.py r04). The store
+        # only activates on TPU backends (see aot_store.store_enabled).
+        import json as _json
+
+        from radtts_tpu.aot_store import AOTStore
+        self._aot = AOTStore.open(
+            aot_dir,
+            extra=(_json.dumps(model_config, sort_keys=True, default=str),
+                   bool(use_amp), token_dur_scaling, token_duration_max,
+                   f0_mean, f0_std, energy_mean, energy_std,
+                   self.weight_dtype, self.data_parallel),
+            log=lambda m: print(f"[synthesizer] {m}", flush=True))
         # one jitted program for the whole load-time rewrite: eager
         # leaf-by-leaf folding costs one tunneled dispatch per norm
         # collapse (same rationale as the jitted precompute_inverses)
-        self.params = jax.jit(
-            lambda p: fold_norms(precompute_inverses(p), matmul_dtype=md)
-        )(params)
+        fold_jit = jax.jit(
+            lambda p: fold_norms(precompute_inverses(p), matmul_dtype=md))
+        if self._aot is not None:
+            fold_jit = self._aot.wrap("fold", fold_jit)
+        self.params = fold_jit(params)
         if self._repl is not None:
             self.params = jax.device_put(self.params, self._repl)
         self._encode_fn = encode_fn
         self._speaker_id_fn = speaker_id_fn
         self.rng = jax.random.PRNGKey(seed)
         self._dur_fn = jax.jit(self._durations)
+        if self._aot is not None:
+            self._dur_fn = self._aot.wrap("dur", self._dur_fn)
         # per-instance decode-program LRU (NOT functools.lru_cache on the
         # method: a class-level cache keyed on `self` would pin every
         # discarded Synthesizer's params + executables for process life).
@@ -185,9 +205,14 @@ class Synthesizer:
     def _resolve_weight_dtype(weight_dtype):
         """Normalize the weight_dtype knob to 'float32' | 'bfloat16'.
 
-        None/'auto' -> 'bfloat16' only on a TPU backend running at
-        DEFAULT matmul precision (where bf16 storage is bit-equal to
-        fp32 storage, ops/fold_norms.py); 'float32'/'bfloat16' force."""
+        'auto'/None -> float32. Measured on chip (scripts/ab_fold_bf16.py,
+        TPU v5e, flagship decode, 2026-08-20): bf16-stored folded weights
+        are BIT-EQUAL to fp32 storage at DEFAULT matmul precision (the
+        MXU truncates fp32 operands to bf16 either way) but NOT faster —
+        3.47 ms vs 3.29 ms per decode (XLA already streams the fp32
+        weights efficiently; the explicit bf16 activations cast blocks a
+        fusion). bfloat16 therefore stays an opt-in HBM-footprint lever
+        (halves resident conv-weight bytes), not a speed default."""
         if weight_dtype in ("float32", jnp.float32):
             return "float32"
         if weight_dtype in ("bfloat16", jnp.bfloat16):
@@ -195,12 +220,7 @@ class Synthesizer:
         if weight_dtype not in (None, "auto"):
             raise ValueError(f"weight_dtype={weight_dtype!r}: expected "
                              "'auto', 'float32' or 'bfloat16'")
-        dev = jax.devices()[0]
-        on_tpu = (dev.platform == "tpu"
-                  or "TPU" in str(getattr(dev, "device_kind", "")))
-        precision_default = jax.config.jax_default_matmul_precision in (
-            None, "default")
-        return ("bfloat16" if on_tpu and precision_default else "float32")
+        return "float32"
 
     def _put(self, x):
         """Shard a batch-leading array over the data mesh (identity when
@@ -251,6 +271,11 @@ class Synthesizer:
             audio = denoiser_apply(denoiser, audio, strength=denoise)
             return out, audio
         jitted = jax.jit(fn)
+        if self._aot is not None:
+            # max_frames is a trace-time constant with the SAME input
+            # signature across budgets, so it must be part of the store
+            # key, not just the arg signature
+            jitted = self._aot.wrap(f"dec{max_frames}", jitted)
         self._decode_cache[max_frames] = jitted
         if len(self._decode_cache) > self._decode_cache_max:
             self._decode_cache.popitem(last=False)

@@ -322,9 +322,16 @@ def main():
     ap.add_argument("--weight_dtype", default="auto",
                     choices=["auto", "float32", "bfloat16"],
                     help="inference weight storage after norm folding: "
-                         "'auto' = bfloat16 on TPU at default matmul "
-                         "precision (bit-equal, halves conv-weight HBM "
-                         "traffic), float32 elsewhere")
+                         "'auto' = float32; bfloat16 is bit-equal on TPU "
+                         "at default matmul precision and halves resident "
+                         "conv-weight bytes, but measured not faster "
+                         "(scripts/ab_fold_bf16.py)")
+    ap.add_argument("--aot_dir", default=".aot_cache",
+                    help="directory of serialized compiled executables "
+                         "(radtts_tpu/aot_store.py): a fresh daemon "
+                         "process reloads its stage programs in ~1 s "
+                         "instead of recompiling through the tunnel; "
+                         "'' disables. TPU backends only")
     ap.add_argument("--use_amp", action="store_true")
     ap.add_argument("--matmul_precision", default=None,
                     choices=["default", "high", "highest"])
@@ -365,7 +372,7 @@ def main():
         # exact) so a long-running server compiles a BOUNDED set of
         # text-length programs, not one per distinct request length
         bucket_single=True, data_parallel=args.data_parallel,
-        weight_dtype=args.weight_dtype)
+        weight_dtype=args.weight_dtype, aot_dir=args.aot_dir)
     print(f"[serve] loaded '{args.radtts_path}' "
           f"(weights {synth.weight_dtype})", flush=True)
 

@@ -98,6 +98,27 @@ def main():
 
     rng = jax.random.PRNGKey(0)
     results = []
+    if os.environ.get("MH_CURRICULUM") == "1":
+        # cross BOTH curriculum boundaries mid-run (trainer.py:499-500
+        # schedule with binarization_start_iter=2, kl_loss_start_iter=4):
+        # each flag flip is a NEW step signature, so the
+        # MultiHostStepRunner must AOT-compile + barrier it on every rank
+        # MID-RUN — the transition that works at iter 0 but can deadlock
+        # the Gloo rendezvous at iter 6000 (reference: train.py:389-414)
+        for it in range(6):
+            binarize = it >= 2
+            use_kl = binarize and it >= 4
+            rng, sub = jax.random.split(rng)
+            sharded = shard_batch(local, mesh)
+            params, opt_state, total, loss_dict, gn = step(
+                params, opt_state, sharded, sub, binarize, use_kl)
+            results.append([float(total), float(gn),
+                            float(loss_dict["binarization_loss"][0])])
+        if RANK == 0:
+            print("MH_RESULT " + json.dumps(
+                {"steps": results, "aot_signatures": len(step.aot)}),
+                flush=True)
+        return
     for _ in range(2):
         rng, sub = jax.random.split(rng)
         sharded = shard_batch(local, mesh)

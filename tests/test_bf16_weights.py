@@ -103,7 +103,8 @@ def test_conv_bf16_fast_path_semantics():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-def _mk_synth(weight_dtype):
+def _mk_synth_kw(**kw):
+    """Small from_parts Synthesizer (shared with tests/test_aot_store.py)."""
     from radtts_tpu.models.hifigan import (denoiser_init,
                                            hifigan_generator_init)
     from radtts_tpu.synthesizer import Synthesizer
@@ -121,14 +122,18 @@ def _mk_synth(weight_dtype):
         cfg, params, voc, den,
         encode_fn=lambda t: np.array([ord(c) % 150 + 1 for c in t],
                                      np.int64),
-        speaker_id_fn=lambda name: 0, seed=11,
-        weight_dtype=weight_dtype)
+        speaker_id_fn=lambda name: 0, seed=11, **kw)
+
+
+def _mk_synth(weight_dtype):
+    return _mk_synth_kw(weight_dtype=weight_dtype)
 
 
 def test_synthesizer_weight_dtype_auto_resolution():
     from radtts_tpu.synthesizer import Synthesizer
 
-    # the suite runs on CPU (conftest): auto must resolve to float32
+    # 'auto' is float32 on every backend: bf16 storage measured bit-equal
+    # on TPU but NOT faster (scripts/ab_fold_bf16.py) — opt-in only
     assert Synthesizer._resolve_weight_dtype("auto") == "float32"
     assert Synthesizer._resolve_weight_dtype(None) == "float32"
     assert Synthesizer._resolve_weight_dtype("bfloat16") == "bfloat16"

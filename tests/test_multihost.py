@@ -69,6 +69,26 @@ def test_two_process_divergent_buckets():
 
 
 @pytest.mark.slow
+def test_two_process_curriculum_crossing():
+    # both curriculum boundaries (binarize at iter 2, +KL at iter 4 —
+    # reference train.py:389-414) crossed MID-RUN under the multi-host AOT
+    # barrier: each flip is a new step signature that every rank must
+    # compile + barrier before any rank executes it. Asserts the
+    # binarization loss follows the schedule and exactly the three crossed
+    # signatures were AOT'd.
+    res = _run_world(2, 2, extra_env={"MH_CURRICULUM": "1"})
+    steps = res["steps"]
+    assert len(steps) == 6
+    for it, (loss, gn, bin_loss) in enumerate(steps):
+        assert np.isfinite(loss) and np.isfinite(gn), (it, steps)
+        if it >= 4:
+            assert bin_loss > 0.0, (it, steps)
+        else:
+            assert bin_loss == 0.0, (it, steps)
+    assert res["aot_signatures"] == 3
+
+
+@pytest.mark.slow
 def test_two_process_matches_single_process():
     # 2 processes x 2 local devices == 1 process x 4 devices, same global
     # batch: per-step losses and grad norms must agree
