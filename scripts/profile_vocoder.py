@@ -203,11 +203,17 @@ def main():
                                  ups=["matmul"] * 4)),
         ]
     else:
+        # cumulative cuts under the PRODUCTION dispatch as of round 5
+        # (models/hifigan.py hifigan_generator_apply defaults): wide-256,
+        # pallas@1024 at C=128, pallas@1536 at C=64, pfold F=4 @1024 at
+        # C=32
+        PROD = ["wide", "pallas", "pallas", "pfold@1024"]
         cuts = [("pre", make_cut(0, False, False))]
         for n in range(1, 5):
-            cuts.append((f"st{n - 1}", make_cut(n, False, False)))
-        cuts.append(("post", make_cut(4, True, False)))
-        cuts.append(("den", make_cut(4, True, True)))
+            cuts.append((f"st{n - 1}", make_cut(n, False, False,
+                                                impls=PROD[:n])))
+        cuts.append(("post", make_cut(4, True, False, impls=PROD)))
+        cuts.append(("den", make_cut(4, True, True, impls=PROD)))
 
     if os.environ.get("PROF_VARIANTS") == "1":
         cuts += [
