@@ -348,7 +348,29 @@ def hifigan_generator_apply(params, mel, *, mrf_impl="auto"):
                 xs = xs + _resblock2_apply(block, x, rk[j], rd[j])
         x = xs / len(rk)
     x = jax.nn.leaky_relu(x)  # default torch slope 0.01 (reference line 211)
-    x = conv1d_apply(params["conv_post"], x, padding=3)
+    C, T = x.shape[-1], x.shape[1]
+    if (C <= 64 and 128 % C == 0 and T % (128 // C) == 0
+            and os.environ.get("RADTTS_POST_FOLD", "1") != "0"):
+        # DEFAULT since the round-5 on-chip cuts (scripts/
+        # profile_vocoder.py: the post conv's marginal was 0.66 ms vs a
+        # 0.05 ms floor): C_out=1 fills ONE of the MXU's 128 output
+        # lanes, so fold 128//C frames into channels and run the k=7
+        # conv as 3 dense (U, 128*C_in) x (128*C_in, 128) taps — exact
+        # to reduction order (ops/folded_conv.py fold_conv_weights; the
+        # same block-banded derivation as the folded MRF tail).
+        # RADTTS_POST_FOLD=0 opts out.
+        from radtts_tpu.ops.conv import effective_weight
+        from radtts_tpu.ops.folded_conv import (fold_conv_weights,
+                                                fold_time, folded_conv_apply,
+                                                unfold_time)
+        F = 128 // C
+        pp = params["conv_post"]
+        fw, fb, fpad = fold_conv_weights(
+            effective_weight(pp), pp.get("b"), pad=3, dilation=1, fold=F)
+        y = folded_conv_apply(fw, fb, fpad, fold_time(x, F))
+        x = unfold_time(y, F)
+    else:
+        x = conv1d_apply(params["conv_post"], x, padding=3)
     return jnp.tanh(x)[..., 0]
 
 

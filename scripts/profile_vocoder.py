@@ -108,7 +108,24 @@ def gen_prefix(params, mel, n_stages, with_post, impls=None,
             x = xs / len(rk)
     if with_post:
         x = jax.nn.leaky_relu(x.astype(jnp.float32))
-        x = conv1d_apply(params["conv_post"], x, padding=3)
+        C, T = x.shape[-1], x.shape[1]
+        if (C <= 64 and 128 % C == 0 and T % (128 // C) == 0
+                and os.environ.get("RADTTS_POST_FOLD", "1") != "0"):
+            # production folded post conv (models/hifigan.py round 5)
+            from radtts_tpu.ops.conv import effective_weight
+            from radtts_tpu.ops.folded_conv import (fold_conv_weights,
+                                                    fold_time,
+                                                    folded_conv_apply,
+                                                    unfold_time)
+            F = 128 // C
+            pp = params["conv_post"]
+            fw, fb, fpad = fold_conv_weights(
+                effective_weight(pp), pp.get("b"), pad=3, dilation=1,
+                fold=F)
+            x = unfold_time(folded_conv_apply(fw, fb, fpad,
+                                              fold_time(x, F)), F)
+        else:
+            x = conv1d_apply(params["conv_post"], x, padding=3)
         x = jnp.tanh(x)[..., 0]
     return x.astype(jnp.float32)
 

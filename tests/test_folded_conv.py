@@ -110,3 +110,44 @@ def test_transpose_conv_matmul_matches_dilated(stride, K, C_in, C_out):
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_post_conv_fold_matches_plain(monkeypatch):
+    """The folded conv_post (128//C frames into lanes, round-5 default:
+    C_out=1 fills one MXU column otherwise) must reproduce the plain
+    k=7 post conv exactly up to reduction order."""
+    from radtts_tpu.models.hifigan import (hifigan_generator_apply,
+                                           hifigan_generator_init)
+
+    H = {"resblock": "1",
+         "upsample_rates": [8, 8, 2, 2],
+         "upsample_kernel_sizes": [16, 16, 4, 4],
+         "upsample_initial_channel": 256,  # final stage C=32
+         "resblock_kernel_sizes": [3, 7, 11],
+         "resblock_dilation_sizes": [[1, 3, 5]] * 3}
+    voc = hifigan_generator_init(jax.random.PRNGKey(3), H)
+    r = np.random.default_rng(5)
+    mel = jnp.asarray(r.standard_normal((2, 32, 80)).astype(np.float32))
+
+    from radtts_tpu.ops.flops import mxu_records
+
+    def out_channels(flag):
+        monkeypatch.setenv("RADTTS_POST_FOLD", flag)
+        return [r["n"] for r in mxu_records(
+            lambda v, m: hifigan_generator_apply(v, m, mrf_impl="xla"),
+            voc, mel) if r["kind"] == "conv"]
+
+    # the flag must actually switch the traced graph: plain has the
+    # C_out=1 post conv, folded replaces it with a 128-lane conv
+    assert 1 in out_channels("0")
+    assert 1 not in out_channels("1")
+
+    monkeypatch.setenv("RADTTS_POST_FOLD", "0")
+    plain = jax.jit(lambda v, m: hifigan_generator_apply(
+        v, m, mrf_impl="xla"))(voc, mel)
+    monkeypatch.setenv("RADTTS_POST_FOLD", "1")
+    folded = jax.jit(lambda v, m: hifigan_generator_apply(
+        v, m, mrf_impl="xla"))(voc, mel)
+    assert plain.shape == folded.shape
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(plain),
+                               rtol=1e-5, atol=1e-6)
