@@ -193,6 +193,7 @@ def _code_fingerprint(dev):
     h.update(jax.__version__.encode())
     h.update(str(getattr(dev, "device_kind", dev.platform)).encode())
     h.update(os.environ.get("RADTTS_SCAN_UNROLL", "").encode())
+    h.update(os.environ.get("BENCH_WEIGHT_DTYPE", "").encode())
     pkg = os.path.join(_REPO, "radtts_tpu")
     for root, dirs, files in sorted(os.walk(pkg)):
         dirs.sort()
@@ -287,9 +288,14 @@ def run_bench(state, deadline):
         p = _radtts_init_impl(k0, model_config)
         # fold the norm factorizations exactly as the serving path does
         # (synthesizer.py load-time fold): BIT-EQUAL outputs and a 16%
-        # faster decode stage measured on chip (3.29 vs 3.92 ms,
-        # scripts/ab_fold_bf16.py r05)
-        p = fold_norms(precompute_inverses(p))
+        # faster decode stage measured on chip (3.92 -> ~3.3 ms,
+        # scripts/ab_fold_bf16.py r05). BENCH_WEIGHT_DTYPE=bfloat16
+        # additionally benches the bf16 weight-storage variant (also
+        # bit-equal; measured speed-neutral — footprint lever only)
+        md = (jnp.bfloat16
+              if os.environ.get("BENCH_WEIGHT_DTYPE", "") == "bfloat16"
+              else None)
+        p = fold_norms(precompute_inverses(p), matmul_dtype=md)
         voc = hifigan_generator_init(k1, HIFIGAN_V1)
         den = denoiser_init(voc)
         return p, voc, den

@@ -65,7 +65,8 @@ def _raw_conv(x, w, stride, padding, dilation):
         # applies to fp32 operands — and accumulate/emit fp32. The weight
         # HBM reads halve. TPU-ONLY equivalence: on TPU at DEFAULT
         # precision the dot results match the fp32-stored weights (the MXU
-        # truncates to bf16 either way; asserted on-chip by
+        # truncates to bf16 either way; asserted bit-equal on chip by
+        # scripts/ab_fold_bf16.py, CPU-side semantics pinned by
         # tests/test_bf16_weights.py); on CPU/GPU backends DEFAULT fp32
         # convs do NOT truncate, so this path changes results there.
         pet = x.dtype

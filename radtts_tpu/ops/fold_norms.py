@@ -7,17 +7,25 @@ and LSTM spectral / weight norm stores (sn_w, sn_u, sn_v) / (wn_v, wn_g)
 (reference radtts.py:150-163). Every jitted inference call therefore
 re-collapses each factor on device: for one decode pass through the 8 WN
 coupling stacks that is a full extra read + write of ~100 MB of conv
-weights per flow, and scripts/profile_decode.py shows the decode stage is
-HBM-weight-traffic bound, not FLOP bound.
+weights per flow — traffic that, unlike the folded kernels' own reads,
+does NOT hide behind the serialized scans (folding measured decode
+3.92 -> ~3.3 ms on chip).
 
 `fold_norms` walks the pytree ONCE at load time and replaces every
 factorization with its effective weight — the same expressions
 `effective_weight` / `effective_hh` evaluate per call, so the math is
-unchanged (the reference's remove_norms has the same contract). With
-``matmul_dtype=jnp.bfloat16`` it additionally stores conv kernels in
-bf16: at DEFAULT matmul precision the TPU MXU truncates fp32 operands to
-bf16 anyway (docs/DESIGN.md section 9), so each dot's result is what the
-fp32-stored weight already produced, while the HBM weight reads halve.
+unchanged (the reference's remove_norms has the same contract; measured
+on chip: bit-equal outputs and decode 3.92 -> ~3.3 ms,
+scripts/ab_fold_bf16.py). With ``matmul_dtype=jnp.bfloat16`` it
+additionally stores conv kernels in bf16: at DEFAULT matmul precision
+the TPU MXU truncates fp32 operands to bf16 anyway (docs/DESIGN.md
+section 9), so each dot's result is what the fp32-stored weight already
+produced (bit-equal on chip, verified with the WN heads perturbed away
+from their vacuous zero init) while the resident weight bytes halve.
+Note this is a FOOTPRINT lever, not a latency one: the decode roofline
+(scripts/roofline_decode.py) charges the WN pool 0.92 ms of weight HBM,
+but repeated A/Bs time fp32- and bf16-stored decode identically within
+noise — the weight streams overlap the serialized LSTM/DAP scans.
 Numerically sensitive leaves keep fp32: invertible-1x1 factors and their
 precomputed inverses (HIGHEST-precision matmuls, ops/invertible.py),
 embeddings, biases, LSTM recurrences, and the whole text-encoder subtree

@@ -150,10 +150,10 @@ class Synthesizer:
         self.vocoder, self.denoiser = vocoder, denoiser
         # fold norm factorizations once at load (exact — the reference's
         # remove_norms, radtts.py:732-750; measured on chip: BIT-EQUAL to
-        # the factorized tree and 16% faster decode, 3.29 vs 3.92 ms,
+        # the factorized tree and 16% faster decode, 3.92 -> ~3.3 ms,
         # scripts/ab_fold_bf16.py). --weight_dtype bfloat16 additionally
         # stores conv kernels bf16: also bit-equal on TPU at DEFAULT
-        # matmul precision, but measured NOT faster (3.47 ms) — see
+        # matmul precision, but measured speed-neutral — see
         # _resolve_weight_dtype for why it stays an opt-in footprint
         # lever rather than the 'auto' default.
         self.weight_dtype = self._resolve_weight_dtype(weight_dtype)
@@ -206,13 +206,16 @@ class Synthesizer:
         """Normalize the weight_dtype knob to 'float32' | 'bfloat16'.
 
         'auto'/None -> float32. Measured on chip (scripts/ab_fold_bf16.py,
-        TPU v5e, flagship decode, 2026-08-20): bf16-stored folded weights
-        are BIT-EQUAL to fp32 storage at DEFAULT matmul precision (the
-        MXU truncates fp32 operands to bf16 either way) but NOT faster —
-        3.47 ms vs 3.29 ms per decode (XLA already streams the fp32
-        weights efficiently; the explicit bf16 activations cast blocks a
-        fusion). bfloat16 therefore stays an opt-in HBM-footprint lever
-        (halves resident conv-weight bytes), not a speed default."""
+        TPU v5e, flagship decode, 2026-08-20, WN heads perturbed away
+        from their vacuous zero init): bf16-stored folded weights are
+        BIT-EQUAL to fp32 storage at DEFAULT matmul precision (the MXU
+        truncates fp32 operands to bf16 either way) but speed-NEUTRAL —
+        fp32, bf16, and bf16+amp decode all time 3.2-3.5 ms across
+        repeated A/Bs (the conv weight streams overlap the serialized
+        LSTM/DAP scans and are off the critical path; decode roofline:
+        scripts/roofline_decode.py). bfloat16 therefore stays an opt-in
+        HBM-footprint lever (halves resident conv-weight bytes), not a
+        speed default."""
         if weight_dtype in ("float32", jnp.float32):
             return "float32"
         if weight_dtype in ("bfloat16", jnp.bfloat16):

@@ -1,14 +1,22 @@
 #!/usr/bin/env python
 """Decode-stage A/B: factorized params (bench status quo) vs fold_norms
-fp32 vs fold_norms bf16 weight storage, at flagship size on the real chip.
+fp32 vs fold_norms bf16 weight storage vs bf16 weights + the inference
+amp scope (pure-bf16 coupling stacks), at flagship size on the real chip.
 
-Two questions (VERDICT r04 item 1):
+Questions (VERDICT r04 item 1 + the round-5 decode roofline):
   1. parity — is the decode output with bf16-stored folded weights
      BIT-EQUAL to the fp32-stored folded output at DEFAULT matmul
      precision (the ops/fold_norms.py claim: the MXU truncates fp32
-     operands to bf16 anyway)? Also: folded-fp32 vs factorized.
+     operands to bf16 anyway)? Also: folded-fp32 vs factorized, and how
+     far the amp (bf16 elementwise) variant drifts. The WN prediction
+     heads are perturbed away from their zero init first — otherwise the
+     couplings contribute nothing and every parity row is vacuous.
   2. speed — what does each variant cost, scan-difference timed at both
-     unroll=1 and unroll=8 (the bench's refined decode method)?
+     unroll=1 and unroll=8 (the bench's refined decode method)? The
+     decode roofline (scripts/roofline_decode.py) charges the WN conv
+     pool 0.92 ms of HBM weight traffic; if halving it (bf16 weights /
+     amp) does NOT move the measured time, the weight streams are
+     overlapped with the serialized scans and are off the critical path.
 
 Run ON THE CHIP (no JAX_PLATFORMS=cpu). Prints a summary table.
 """
@@ -35,6 +43,7 @@ enable_persistent_compilation_cache(
 from __graft_entry__ import _flagship_model_config  # noqa: E402
 from radtts_tpu.models.radtts import (_radtts_init_impl,  # noqa: E402
                                       radtts_infer)
+from radtts_tpu.ops import amp as _amp  # noqa: E402
 from radtts_tpu.ops.fold_norms import fold_norms  # noqa: E402
 from radtts_tpu.ops.invertible import precompute_inverses  # noqa: E402
 from radtts_tpu.ops.lstm import unroll_scope  # noqa: E402
@@ -55,6 +64,23 @@ def main():
 
     params = jax.jit(_init)(jnp.int32(0))
     jax.block_until_ready(params["embedding"]["table"])
+    # The WN prediction heads are ZERO-initialized (reference
+    # common.py:540-542): unperturbed, every coupling is a constant-scale
+    # transform and the parity rows below compare programs whose WN
+    # stacks are multiplied by zero — vacuously bit-equal. Perturb the
+    # heads so parity measures the real decode compute path. Timing is
+    # unaffected either way (zero weights still execute full convs).
+    # sd 0.002, NOT larger: the head sums 1024 channels, so scale_un's sd
+    # is ~sqrt(1024)*sd*act_rms — at 0.05 the tanh scaling saturates and
+    # (z-b)/s compounds to overflow across the 8 inverse flows (measured:
+    # NaN mels). 0.002 keeps s within a few percent of 1 while the WN
+    # contribution stays far above bf16 resolution (~0.4%).
+    rng_p = np.random.default_rng(17)
+    for fl in params["flows"]:
+        head = fl["affine"]["pred"]
+        head = head["end"] if "end" in head else head["last"]
+        head["w"] = head["w"] + jnp.asarray(
+            rng_p.normal(0, 0.002, head["w"].shape).astype(np.float32))
     p_fold32 = jax.jit(lambda p: fold_norms(p))(params)
     p_fold16 = jax.jit(
         lambda p: fold_norms(p, matmul_dtype=jnp.bfloat16))(params)
@@ -81,16 +107,24 @@ def main():
         (speaker, text_ids, keys, dur0, chain0, one, ten), dev)
 
     # ---- parity: one decode call per variant, same rng key -------------
-    @jax.jit
-    def decode_once(p, key):
-        out = radtts_infer(p, key, speaker, text_ids, 0.8, MAX_FRAMES,
-                           dur=dur0, sigma_f0=1.0, sigma_energy=1.0)
-        return out["mel"]
+    # fresh jit wrapper per (params, amp) variant: amp is a TRACE-time
+    # mode, and fold32 / fold32+amp share call signatures — one shared
+    # jit would silently reuse whichever executable compiled first
+    def make_decode_once(use_amp):
+        @jax.jit
+        def decode_once(p, key):
+            with _amp.scope(use_amp):
+                out = radtts_infer(p, key, speaker, text_ids, 0.8,
+                                   MAX_FRAMES, dur=dur0, sigma_f0=1.0,
+                                   sigma_energy=1.0)
+            return out["mel"]
+        return decode_once
 
     k = jax.device_put(jax.random.PRNGKey(7), dev)
-    mel_fac = np.asarray(decode_once(params, k))
-    mel_f32 = np.asarray(decode_once(p_fold32, k))
-    mel_f16 = np.asarray(decode_once(p_fold16, k))
+    mel_fac = np.asarray(make_decode_once(False)(params, k))
+    mel_f32 = np.asarray(make_decode_once(False)(p_fold32, k))
+    mel_f16 = np.asarray(make_decode_once(False)(p_fold16, k))
+    mel_amp = np.asarray(make_decode_once(True)(p_fold16, k))
     scale = float(np.max(np.abs(mel_f32)))
     print(f"parity scale(max|mel|)={scale:.3f}")
     print(f"parity factorized-vs-fold32: max|d|="
@@ -98,20 +132,25 @@ def main():
     print(f"parity fold32-vs-fold16:     max|d|="
           f"{np.max(np.abs(mel_f32 - mel_f16)):.3e}  bit_equal="
           f"{bool((mel_f32 == mel_f16).all())}")
+    print(f"parity fold32-vs-fold16+amp: max|d|="
+          f"{np.max(np.abs(mel_f32 - mel_amp)):.3e}  mae="
+          f"{np.mean(np.abs(mel_f32 - mel_amp)):.3e}")
 
     # ---- timing: scan-difference per variant ----------------------------
-    def scan_program(p):
+    def scan_program(p, use_amp):
         @jax.jit
         def run(n_active, chain, pp):
             def body(c, inp):
                 i, key = inp
 
                 def go(cc):
-                    out = radtts_infer(
-                        pp, jax.random.fold_in(
-                            key, (jnp.abs(cc) * 1e-30).astype(jnp.int32)),
-                        speaker, text_ids, 0.8, MAX_FRAMES, dur=dur0,
-                        sigma_f0=1.0, sigma_energy=1.0)
+                    with _amp.scope(use_amp):
+                        out = radtts_infer(
+                            pp, jax.random.fold_in(
+                                key,
+                                (jnp.abs(cc) * 1e-30).astype(jnp.int32)),
+                            speaker, text_ids, 0.8, MAX_FRAMES, dur=dur0,
+                            sigma_f0=1.0, sigma_energy=1.0)
                     return cc + jnp.sum(out["mel"][0, :2, :2]) * 1e-30
                 return lax.cond(i < n_active, go, lambda cc: cc, c), ()
             return lax.scan(body, chain, (jnp.arange(N_ITERS), keys))[0]
@@ -122,13 +161,14 @@ def main():
         float(run(n, chain0, p))
         return time.perf_counter() - tic
 
-    variants = [("factorized", params), ("fold32", p_fold32),
-                ("fold16", p_fold16)]
+    variants = [("factorized", params, False), ("fold32", p_fold32, False),
+                ("fold16", p_fold16, False),
+                ("fold16+amp", p_fold16, True)]
     for unroll in (1, 8):
         runs = []
         with unroll_scope(unroll):
-            for name, p in variants:
-                r = scan_program(p)
+            for name, p, use_amp in variants:
+                r = scan_program(p, use_amp)
                 t = timecall(r, one, p)
                 print(f"# u{unroll} {name} compile+first {t:.1f}s",
                       file=sys.stderr, flush=True)

@@ -61,15 +61,42 @@ def main():
     # precision/platform A/Bs on the jax side rerun in minutes
     oracle_path = os.environ.get("FLAGSHIP_ORACLE", "")
     oracle = None
+    # v2: WN prediction heads perturbed away from zero init (see below) —
+    # older caches hold the vacuous zero-head model and must be rebuilt
+    ORACLE_VERSION = 2
     if oracle_path and os.path.exists(oracle_path):
         oracle = dict(np.load(oracle_path))
-        print(f"# loaded torch oracle from {oracle_path}", file=sys.stderr)
+        if int(oracle.get("version", np.asarray(1))) != ORACLE_VERSION:
+            print(f"# torch oracle at {oracle_path} is a stale version "
+                  f"({int(oracle.get('version', np.asarray(1)))} != "
+                  f"{ORACLE_VERSION}); rebuilding", file=sys.stderr)
+            oracle = None
+        else:
+            print(f"# loaded torch oracle from {oracle_path}",
+                  file=sys.stderr)
 
     if oracle is None:
         torch.manual_seed(0)
         print("# building flagship reference model...", file=sys.stderr)
         ref = RefRADTTS(**copy.deepcopy(model_config)).eval()
         converge_spectral_norms(ref)
+        # the reference ZERO-initializes every WN prediction head
+        # (common.py:540-542): on a fresh model each coupling is a
+        # constant-scale transform and mel parity never exercises the WN
+        # internals (1024-wide conv stacks — the decode FLOP hotspot).
+        # Perturb the heads deterministically so the flagship comparison
+        # covers the real flow compute path. sd 0.002, NOT larger: the
+        # head sums 1024 channels, so at 0.05 the tanh scaling saturates
+        # and (z-b)/s compounds to overflow across the 8 inverse flows
+        # (measured NaN on chip, scripts/ab_fold_bf16.py); 0.002 keeps s
+        # within a few percent of 1 with the WN stacks still contributing.
+        torch.manual_seed(1)
+        with torch.no_grad():
+            for fs in ref.flows:
+                head = fs.affine_tfn.affine_param_predictor
+                head = head.end if hasattr(head, "end") else head.last_layer
+                head.weight.normal_(0, 0.002)
+                head.bias.normal_(0, 0.002)
         sd = ref.state_dict()
     else:
         sd = {k[len("sd/"):]: torch.from_numpy(v)
@@ -143,6 +170,7 @@ def main():
                     for k, v in sd.items()}
             blob["mel"] = ref_mel_np
             blob["f0"] = ref_f0_np
+            blob["version"] = np.asarray(ORACLE_VERSION)
             np.savez(oracle_path, **blob)
             print(f"# torch oracle cached to {oracle_path}",
                   file=sys.stderr)

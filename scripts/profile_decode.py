@@ -15,6 +15,7 @@ Sub-block times won't sum exactly to the full decode stage (XLA fuses
 across the seams) but they rank the optimization targets.
 """
 
+import os
 import sys
 import time
 
@@ -38,7 +39,11 @@ from radtts_tpu.ops.masking import sequence_mask
 N_REPS = 10
 PAIRS = 5
 MAX_FRAMES = 608
-N_TOKENS = 64
+# PROF_N_TOKENS=160 matches the bench sentence length; the token-level
+# scans (text-encoder BiLSTM, token DAPs) scale with it while the
+# frame-level blocks don't — comparing 64 vs 160 attributes the
+# token-count-dependent share of the decode stage
+N_TOKENS = int(os.environ.get("PROF_N_TOKENS", "64"))
 AUDIO_S = MAX_FRAMES * 256 / 22050
 
 from profile_stages import staged  # noqa: E402  (same methodology)

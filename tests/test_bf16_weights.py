@@ -163,6 +163,22 @@ def test_synthesizer_bf16_weights_close_to_fp32():
     # bf16-vs-fp32 storage claim is about the decode compute path, so
     # pin dur and compare mels.
     from radtts_tpu.models.radtts import radtts_infer
+
+    # The WN prediction heads are ZERO-initialized (reference
+    # common.py:540-542 semantics), so on a fresh model the coupling
+    # layers multiply the whole WN stack by zero and a storage-dtype
+    # comparison through the flows would be vacuous. Perturb each head in
+    # the fp32 tree and mirror it into the bf16 tree the way fold_norms
+    # stores it (bf16 = truncation of the same fp32 weight), so the
+    # comparison exercises the full decode compute path.
+    rng_p = np.random.default_rng(17)
+    for f32, f16 in zip(s32.params["flows"], s16.params["flows"]):
+        for layer32, layer16 in ((f32["affine"]["pred"]["end"],
+                                  f16["affine"]["pred"]["end"]),):
+            noise = jnp.asarray(rng_p.normal(
+                0, 0.05, layer32["w"].shape).astype(np.float32))
+            layer32["w"] = layer32["w"].astype(jnp.float32) + noise
+            layer16["w"] = layer32["w"].astype(layer16["w"].dtype)
     n_tok, frames = 24, 96
     text_ids = jnp.asarray(
         np.random.default_rng(5).integers(1, 150, (1, n_tok)))
@@ -178,4 +194,7 @@ def test_synthesizer_bf16_weights_close_to_fp32():
     assert np.isfinite(mel16).all()
     scale = max(float(np.max(np.abs(mel32))), 1e-6)
     rel = float(np.max(np.abs(mel32 - mel16))) / scale
-    assert rel < 0.05, rel
+    # strictly between: >0 proves the comparison is NOT vacuous (on CPU
+    # fp32 convs do not truncate, so bf16 storage must perturb the mel
+    # through the now-nonzero flow couplings), <0.05 bounds the error
+    assert 0.0 < rel < 0.05, rel

@@ -8,9 +8,11 @@ config_ljs_dap model_config (1024-wide WN couplings, n_flows 8,
 README.md is re-measured, not trusted from one run.
 
 The torch side (flagship build + spectral-norm convergence + reference
-infer, ~15 min on this host) is cached in .flagship_oracle.npz keyed by
-nothing but torch.manual_seed determinism; with a warm oracle the test
-costs only the JAX side (~2-4 min on CPU).
+infer, ~15 min on this host) is cached in .flagship_oracle.npz, versioned
+(v2 = WN prediction heads perturbed away from their zero init so the
+flows contribute to the compared mel) and otherwise keyed by
+torch.manual_seed determinism; with a warm oracle the test costs only
+the JAX side (~2-4 min on CPU).
 """
 
 import json

@@ -78,6 +78,17 @@ def test_affine_coupling_parity(affine_model, scaling_fn):
     ref = AffineTransformationLayer(
         C, CTX, n_layers=2, affine_model=affine_model, scaling_fn=scaling_fn,
         n_channels=64, use_partial_padding=True).eval()
+    # the reference ZERO-initializes the predictor's last conv
+    # (common.py:540-542 WN.end, :499-501 SimpleConvNet.last_layer), which
+    # makes a fresh coupling layer the identity-with-constant-scale
+    # transform: parity on unperturbed weights never sees the WN /
+    # ConvNet internals at all. Perturb the last layer so the whole
+    # predictor stack contributes to the compared outputs.
+    pred = ref.affine_param_predictor
+    last = pred.end if hasattr(pred, "end") else pred.last_layer
+    with torch.no_grad():
+        last.weight.normal_(0, 0.05)
+        last.bias.normal_(0, 0.05)
     z = torch.randn(B, C, T)
     ctx = torch.randn(B, CTX, T)
     lens = torch.tensor([12, 8])
@@ -147,6 +158,12 @@ def test_spline_ar_parity(use_quadratic):
     ref = SplineTransformationLayerAR(
         C, CTX, n_layers=2, n_channels=16, n_bins=8, left=-6, right=6,
         bottom=-6, top=6, use_quadratic=use_quadratic).eval()
+    # the AR layer's param predictor is zero-initialized too
+    # (common.py:605-607): perturb so the ConvNet internals are actually
+    # compared (an all-zero prediction is the near-identity spline)
+    with torch.no_grad():
+        ref.param_predictor.last_layer.weight.normal_(0, 0.05)
+        ref.param_predictor.last_layer.bias.normal_(0, 0.05)
     z = torch.randn(B, C, T).clamp(-5, 5)
     ctx = torch.randn(B, CTX, T)
     with torch.no_grad():
