@@ -38,6 +38,19 @@ def _lrelu(x):
     return jnp.where(x >= 0, x, LRELU_SLOPE * x)
 
 
+def _roll_rows(buf, shift):
+    """pltpu.roll along the sublane (row) axis — split out so the
+    ablation harness (scripts/ab_mrf_bufdtype.py) can monkeypatch it.
+    Window building costs 0.17-0.23 ms of the C=64/C=128 stages'
+    over-roofline residual (identity-roll ablation, v5e 2026-08-20);
+    the measured dead ends: bf16 buffers don't lower (Mosaic's
+    dynamic_rotate is 32-bit-only, and bitcasting to u32 lane-pairs hits
+    "Changing bitwidths not supported"), static two-slice concat is no
+    cheaper than the rotate, and taps-per-dot chunk resizing (1.25/5/10
+    MB slabs) is chip-weather-flat under interleaved timing."""
+    return pltpu.roll(buf, shift, axis=0)
+
+
 def _conv_taps(buf, w, b, offsets, taps_per_dot=None):
     """buf: (P, C) value. Same-size output y[t] = sum_j w_j·buf[t+off_j];
     rows within reach of the buffer edge wrap (garbage) but stay inside
@@ -60,7 +73,7 @@ def _conv_taps(buf, w, b, offsets, taps_per_dot=None):
     for j0 in range(0, len(offsets), taps):
         jj = offsets[j0:j0 + taps]
         # pltpu.roll requires non-negative shifts; -o mod P is the same
-        cols = [pltpu.roll(buf, (-o) % P, axis=0) for o in jj]
+        cols = [_roll_rows(buf, (-o) % P) for o in jj]
         win = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
         part = jax.lax.dot_general(
             win.astype(w.dtype), w[j0 * C:(j0 + len(cols)) * C],
