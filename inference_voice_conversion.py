@@ -28,9 +28,9 @@ from radtts_tpu.config import update_params
 from radtts_tpu.data.dataset import Data, DataCollate, DataLoader
 from radtts_tpu.models.hifigan import (denoiser_apply,
                                        hifigan_generator_apply)
-from radtts_tpu.models.radtts import radtts_forward, radtts_infer, radtts_init
+from radtts_tpu.models.radtts import radtts_forward, radtts_infer
 from radtts_tpu.ops.invertible import precompute_inverses
-from radtts_tpu.train.checkpoint import load_any_radtts_checkpoint
+from radtts_tpu.train.checkpoint import load_radtts_for_inference
 from radtts_tpu.vocoder_io import load_vocoder
 
 
@@ -59,9 +59,10 @@ def infer(radtts_path, radtts_config_path, vocoder_path,
     vocoder, denoiser = load_vocoder(vocoder_path, vocoder_config_path)
     os.makedirs(output_dir, exist_ok=True)
 
-    params = radtts_init(jax.random.PRNGKey(0), model_config)
     print(f"Loading checkpoint '{radtts_path}'")
-    params, _ = load_any_radtts_checkpoint(radtts_path, model_config, params)
+    # template-first load (no random init at inference time; see
+    # train/checkpoint.py:load_radtts_for_inference)
+    params, _ = load_radtts_for_inference(radtts_path, model_config)
     params = precompute_inverses(params)
     print(f"Loaded checkpoint '{radtts_path}'")
 

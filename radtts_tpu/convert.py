@@ -14,8 +14,14 @@ import jax.numpy as jnp
 
 
 def t2j(t):
-    """torch tensor -> jnp array (fp32)."""
-    return jnp.asarray(np.asarray(t.detach().cpu().numpy(), dtype=np.float32))
+    """torch tensor -> HOST fp32 array (numpy).
+
+    Deliberately not a device array: converters run leaf-by-leaf, and an
+    eager `jnp.asarray` per leaf is one host->device dispatch each — on a
+    tunneled TPU backend that is hundreds of round trips (~30 s for the
+    flagship checkpoint, measured). Host leaves upload in ONE transfer at
+    the first jitted use (e.g. the synthesizer's fold program)."""
+    return np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
 
 
 def conv1d_from_torch(sd, prefix, *, bias=True, weight_norm=False):
@@ -29,10 +35,10 @@ def conv1d_from_torch(sd, prefix, *, bias=True, weight_norm=False):
         g = t2j(sd[prefix + ".weight_g"])  # (out,1,1)
         v = t2j(sd[prefix + ".weight_v"])  # (out,in,k)
         p["g"] = g.reshape(-1)
-        p["v"] = jnp.transpose(v, (2, 1, 0))
+        p["v"] = np.transpose(v, (2, 1, 0))
     else:
         w = t2j(sd[prefix + ".weight"])
-        p["w"] = jnp.transpose(w, (2, 1, 0))
+        p["w"] = np.transpose(w, (2, 1, 0))
     if bias:
         p["b"] = t2j(sd[prefix + ".bias"])
     return p

@@ -64,7 +64,7 @@ def _conv_from_sd(sd, prefix, weight_norm=True):
         w = _collapse_weight_norm(sd, prefix)
     else:
         w = np.asarray(sd[prefix + ".weight"].detach().cpu().numpy())
-    p = {"w": jnp.asarray(np.transpose(w, (2, 1, 0)), jnp.float32)}
+    p = {"w": np.asarray(np.transpose(w, (2, 1, 0)), np.float32)}
     if prefix + ".bias" in sd:
         p["b"] = t2j(sd[prefix + ".bias"])
     return p
@@ -76,8 +76,8 @@ def _convT_from_sd(sd, prefix):
     import numpy as np
     w = _collapse_weight_norm(sd, prefix)   # (in, out, k)
     w = w[:, :, ::-1]                        # spatial flip
-    p = {"w": jnp.asarray(np.ascontiguousarray(np.transpose(w, (2, 0, 1))),
-                          jnp.float32)}
+    p = {"w": np.asarray(np.ascontiguousarray(np.transpose(w, (2, 0, 1))),
+                         np.float32)}
     if prefix + ".bias" in sd:
         p["b"] = t2j(sd[prefix + ".bias"])
     return p
@@ -426,7 +426,13 @@ def hifigan_generator_to_torch(params):
 
 
 def denoiser_init(generator_params, filter_length=1024, n_overlap=4,
-                  win_length=1024, mode="zeros"):
+                  win_length=1024, mode="zeros", wrap=None):
+    """Compute the vocoder bias spectrum (reference hifigan_denoiser.py:
+    22-40). `wrap`, when given, is applied to the jitted bias program —
+    the serving path passes an AOT-store wrapper (aot_store.AOTStore)
+    because this one-shot compile costs ~34 s per process through a
+    tunneled compile service and the XLA persistent cache does not cover
+    that backend (measured 2026-08-20)."""
     hop = int(filter_length / n_overlap)
     if mode == "zeros":
         mel_input = jnp.zeros((1, 88, 80))
@@ -441,6 +447,8 @@ def denoiser_init(generator_params, filter_length=1024, n_overlap=4,
         spec, _ = stft_magnitude_phase(audio, filter_length, hop, win_length)
         return spec
 
+    if wrap is not None:
+        _bias = wrap(_bias)
     bias_spec = _bias(generator_params, mel_input)
     return {"bias_spec": bias_spec[:, 0:1, :],
             "_meta": static(filter_length=filter_length, hop_length=hop,

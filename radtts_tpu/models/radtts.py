@@ -56,6 +56,18 @@ def radtts_init(key, model_config):
     return _radtts_init_impl(key, model_config)
 
 
+def radtts_template(model_config):
+    """radtts_init's tree with ShapeDtypeStruct leaves (jax.eval_shape) —
+    structure, shapes, dtypes, and Static `_meta` nodes are all concrete,
+    only the array VALUES are absent. For checkpoint loading where every
+    leaf is about to be overwritten anyway: the real init eagerly runs
+    thousands of tiny host ops (QR orthogonal inits, norm factorizations,
+    LSTM stacks) that cost minutes at flagship scale, where the traced
+    shape pass takes seconds (measured 109 s vs 3.8 s)."""
+    return jax.eval_shape(lambda k: radtts_init(k, model_config),
+                          jax.random.PRNGKey(0))
+
+
 def _radtts_init_impl(key, model_config):
     cfg = dict(model_config)
     g = lambda name, default=None: cfg.get(name, default)

@@ -28,12 +28,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from radtts_tpu.data.dataset import data_factory
 from radtts_tpu.models.hifigan import (denoiser_apply,
                                        hifigan_generator_apply)
-from radtts_tpu.models.radtts import (infer_durations, radtts_infer,
-                                      radtts_init)
+from radtts_tpu.models.radtts import infer_durations, radtts_infer
 from radtts_tpu.ops import amp as _amp
 from radtts_tpu.ops.fold_norms import fold_norms
 from radtts_tpu.ops.invertible import precompute_inverses
-from radtts_tpu.train.checkpoint import load_any_radtts_checkpoint
+from radtts_tpu.train.checkpoint import load_radtts_for_inference
 from radtts_tpu.vocoder_io import load_vocoder
 
 
@@ -54,15 +53,31 @@ class Synthesizer:
         model_config = config["model_config"]
         data_config = config["data_config"]
 
-        vocoder, denoiser = load_vocoder(vocoder_path, vocoder_config_path)
-        params = radtts_init(jax.random.PRNGKey(0), model_config)
-        params, _ = load_any_radtts_checkpoint(radtts_path, model_config,
-                                               params)
+        # phase timings: the cold-start cost lives here and in _setup's
+        # fold/upload — printed so `scripts/measure_ttfa.py` can attribute
+        # the measured cold TTFA (host->device upload itself is NOT the
+        # bottleneck: 896 MB moves in ~0.7 s ≈ 1.3 GB/s even tunneled)
+        import time as _time
+        tic = _time.perf_counter()
+        vocoder, denoiser = load_vocoder(vocoder_path, vocoder_config_path,
+                                         aot_dir=aot_dir)
+        t_voc = _time.perf_counter()
+        # template-first load: no radtts_init at inference time — the
+        # checkpoint supplies every leaf, so the tree is built around a
+        # jax.eval_shape template (seconds, not minutes at flagship
+        # scale) and leaves stay host-side until the fold program uploads
+        # them in one transfer (train/checkpoint.py:
+        # load_radtts_for_inference)
+        params, _ = load_radtts_for_inference(radtts_path, model_config)
+        t_ck = _time.perf_counter()
 
         # dataset object only for the speaker-id table + text encoding
         # (reference inference.py:100-110 does the same); same construction
         # path as the training loader's worker processes
         self.trainset = data_factory(data_config, "training_files")
+        print(f"[synthesizer] load phases: vocoder {t_voc - tic:.1f}s, "
+              f"checkpoint {t_ck - t_voc:.1f}s, "
+              f"dataset {_time.perf_counter() - t_ck:.1f}s", flush=True)
         self._setup(
             model_config, params, vocoder, denoiser,
             encode_fn=lambda t: np.asarray(self.trainset.get_text(t)),
@@ -182,7 +197,12 @@ class Synthesizer:
             lambda p: fold_norms(precompute_inverses(p), matmul_dtype=md))
         if self._aot is not None:
             fold_jit = self._aot.wrap("fold", fold_jit)
+        import time as _time
+        tic = _time.perf_counter()
         self.params = fold_jit(params)
+        jax.block_until_ready(self.params)
+        print(f"[synthesizer] fold+upload {_time.perf_counter() - tic:.1f}s",
+              flush=True)
         if self._repl is not None:
             self.params = jax.device_put(self.params, self._repl)
         self._encode_fn = encode_fn

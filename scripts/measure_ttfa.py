@@ -51,6 +51,14 @@ def build_fixture(fx):
 
     import jax
 
+    # Pin THIS process to the CPU platform before any backend spins up:
+    # `jax.default_device(cpu)` alone still initializes the TPU client,
+    # and tunneled TPU transports are single-client — the serve.py child
+    # would then block forever on device acquisition (observed as a
+    # silent 20-minute hang when the fixture had to be rebuilt). Process-
+    # local config, NOT os.environ, so the child doesn't inherit it.
+    jax.config.update("jax_platforms", "cpu")
+
     from bench import HIFIGAN_V1
     from radtts_tpu.models.hifigan import (hifigan_generator_init,
                                            hifigan_generator_to_torch)
