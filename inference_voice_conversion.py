@@ -61,9 +61,12 @@ def infer(radtts_path, radtts_config_path, vocoder_path,
 
     print(f"Loading checkpoint '{radtts_path}'")
     # template-first load (no random init at inference time; see
-    # train/checkpoint.py:load_radtts_for_inference)
+    # train/checkpoint.py:load_radtts_for_inference); the loader returns
+    # HOST leaves, so pin every tree to the device ONCE — numpy leaves
+    # passed into jitted calls would re-upload per call
     params, _ = load_radtts_for_inference(radtts_path, model_config)
     params = precompute_inverses(params)
+    params, vocoder, denoiser = jax.device_put((params, vocoder, denoiser))
     print(f"Loaded checkpoint '{radtts_path}'")
 
     ignore_keys = ["training_files", "validation_files"]

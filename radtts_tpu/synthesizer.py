@@ -162,6 +162,12 @@ class Synthesizer:
             denoiser = jax.device_put(denoiser, self._repl)
         else:
             self.mesh = self._dp_sharding = self._repl = None
+            # the converters return HOST (numpy) trees so loading costs
+            # one transfer, not one dispatch per leaf (convert.py:t2j) —
+            # but they must land on the device exactly ONCE here: numpy
+            # leaves passed to a jitted stage re-upload on EVERY call
+            # (measured: warm TTFA 0.14 s -> 2.4 s when this was missed)
+            vocoder, denoiser = jax.device_put((vocoder, denoiser))
         self.vocoder, self.denoiser = vocoder, denoiser
         # fold norm factorizations once at load (exact — the reference's
         # remove_norms, radtts.py:732-750; measured on chip: BIT-EQUAL to
@@ -199,8 +205,27 @@ class Synthesizer:
             fold_jit = self._aot.wrap("fold", fold_jit)
         import time as _time
         tic = _time.perf_counter()
+        # explicit host->device transfer FIRST, so the upload is pinned
+        # here (startup) rather than inside the AOT fold call. Measured
+        # on the tunneled v5e (warm client, readback-synced): the 917 MB
+        # flagship tree moves at ~20 MB/s regardless of shape — 395
+        # arrays 44 s, one packed array 52 s — so upload time is
+        # transport-bound and packing does not help; what matters is
+        # that it completes before the first request (readback below).
+        params = jax.device_put(params)
         self.params = fold_jit(params)
-        jax.block_until_ready(self.params)
+        # force the fold (and its ~1 GB argument upload) to COMPLETE now,
+        # not inside the first request: block_until_ready can be a no-op
+        # on tunneled transports (see bench.py), but a host readback of a
+        # program output is authoritative — the readback returning implies
+        # the whole fold executed, hence every weight is device-resident.
+        # Same for the vocoder/denoiser transfer: reading the bias
+        # spectrum anchors that stream. Without this, cold TTFA silently
+        # absorbed the upload (measured 48.5 s vs ~20 s).
+        np.asarray(jnp.ravel(
+            jax.tree_util.tree_leaves(self.params)[0])[:1])
+        jax.block_until_ready((self.vocoder, self.denoiser))
+        np.asarray(jnp.ravel(self.denoiser["bias_spec"])[:1])
         print(f"[synthesizer] fold+upload {_time.perf_counter() - tic:.1f}s",
               flush=True)
         if self._repl is not None:
