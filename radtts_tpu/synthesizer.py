@@ -221,11 +221,16 @@ class Synthesizer:
         # the whole fold executed, hence every weight is device-resident.
         # Same for the vocoder/denoiser transfer: reading the bias
         # spectrum anchors that stream. Without this, cold TTFA silently
-        # absorbed the upload (measured 48.5 s vs ~20 s).
-        np.asarray(jnp.ravel(
-            jax.tree_util.tree_leaves(self.params)[0])[:1])
-        jax.block_until_ready((self.vocoder, self.denoiser))
-        np.asarray(jnp.ravel(self.denoiser["bias_spec"])[:1])
+        # absorbed the upload (measured 48.5 s vs ~20 s). CPU backends
+        # skip the forcing: transfers are local (nothing to pin), and
+        # under RADTTS_AOT_FORCE a store-reloaded CPU executable cannot
+        # execute at all (tests/test_aot_store.py::
+        # test_synthesizer_aot_roundtrip covers exactly that laziness).
+        if jax.default_backend() != "cpu":
+            np.asarray(jnp.ravel(
+                jax.tree_util.tree_leaves(self.params)[0])[:1])
+            jax.block_until_ready((self.vocoder, self.denoiser))
+            np.asarray(jnp.ravel(self.denoiser["bias_spec"])[:1])
         print(f"[synthesizer] fold+upload {_time.perf_counter() - tic:.1f}s",
               flush=True)
         if self._repl is not None:
