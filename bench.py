@@ -256,6 +256,20 @@ def run_bench(state, deadline):
             _log("backend unreachable; emitting the stale prior")
         state["done"] = True
         return
+    # The tunnel's FIRST device->host readback in a process pays a highly
+    # variable first-contact handshake (measured 10 s to 540 s across one
+    # day on the same terminal; every subsequent readback is ~30 ms).
+    # That is a transport property, not model performance: absorb it
+    # here, measure it, and credit the budget with it — otherwise a
+    # 400 s handshake starves the measurement into a stale emission.
+    # main()'s watchdog honors the credit via state["deadline_extra"].
+    tic_hs = time.perf_counter()
+    np.asarray(jax.device_put(np.ones((8,), np.float32))[:1])
+    hs = time.perf_counter() - tic_hs
+    state["deadline_extra"] = hs
+    deadline += hs
+    _log(f"first-readback handshake {hs:.1f}s (credited to budget)")
+
     from __graft_entry__ import _flagship_model_config
     from radtts_tpu.models.hifigan import (denoiser_apply, denoiser_init,
                                            hifigan_generator_apply,
@@ -548,7 +562,12 @@ def main():
 
     worker = threading.Thread(target=guarded, daemon=True)
     worker.start()
-    while time.monotonic() < deadline and not state["done"]:
+    # deadline_extra: measured first-contact transport handshake,
+    # credited so a slow tunnel can't starve the measurement (see
+    # run_bench). The driver's own process timeout stays the hard stop —
+    # SIGTERM still emits best-so-far.
+    while (time.monotonic() < deadline + state.get("deadline_extra", 0.0)
+           and not state["done"]):
         time.sleep(0.5)
     emit()
 
