@@ -31,9 +31,12 @@ radtts_tpu/synthesizer.py): changing them NEVER recompiles. New (batch,
 text-bucket, frame-budget) shapes compile once; on TPU the compiled
 executables are additionally serialized into --aot_dir (default
 .aot_cache, radtts_tpu/aot_store.py), so a RESTARTED server reloads
-them in ~1 s each instead of re-compiling — measured cold first-request
-TTFA 51.4 -> 20.6 s (scripts/measure_ttfa.py; --warm moves the rest to
-startup).
+them in ~1 s each instead of re-compiling. The model load is template-
+based (no random init) and the weight upload is forced to complete
+BEFORE /healthz reports ready, so the cold first request pays only
+executable deserialization + first dispatch — measured cold first-
+request TTFA 51.4 -> 20.6 -> 5.8 s across rounds (scripts/
+measure_ttfa.py; --warm absorbs even that at startup).
 --warm pre-dispatches one short request at startup so the first real
 request doesn't pay the compile.
 """
