@@ -19,6 +19,8 @@ the model (radtts.py's reference semantics), so they are fixed at
 construction; vary them by building another Synthesizer.
 """
 
+import time
+
 import numpy as np
 
 import jax
@@ -55,13 +57,14 @@ class Synthesizer:
 
         # phase timings: the cold-start cost lives here and in _setup's
         # fold/upload — printed so `scripts/measure_ttfa.py` can attribute
-        # the measured cold TTFA (host->device upload itself is NOT the
-        # bottleneck: 896 MB moves in ~0.7 s ≈ 1.3 GB/s even tunneled)
-        import time as _time
-        tic = _time.perf_counter()
+        # the startup (measured quiet, flagship: vocoder ~4 s, checkpoint
+        # ~6 s, dataset ~0.5 s, then the fold/upload phase dominated by
+        # the tunnel's ~20 MB/s weight upload + its first-contact
+        # handshake)
+        tic = time.perf_counter()
         vocoder, denoiser = load_vocoder(vocoder_path, vocoder_config_path,
                                          aot_dir=aot_dir)
-        t_voc = _time.perf_counter()
+        t_voc = time.perf_counter()
         # template-first load: no radtts_init at inference time — the
         # checkpoint supplies every leaf, so the tree is built around a
         # jax.eval_shape template (seconds, not minutes at flagship
@@ -69,7 +72,7 @@ class Synthesizer:
         # them in one transfer (train/checkpoint.py:
         # load_radtts_for_inference)
         params, _ = load_radtts_for_inference(radtts_path, model_config)
-        t_ck = _time.perf_counter()
+        t_ck = time.perf_counter()
 
         # dataset object only for the speaker-id table + text encoding
         # (reference inference.py:100-110 does the same); same construction
@@ -77,7 +80,7 @@ class Synthesizer:
         self.trainset = data_factory(data_config, "training_files")
         print(f"[synthesizer] load phases: vocoder {t_voc - tic:.1f}s, "
               f"checkpoint {t_ck - t_voc:.1f}s, "
-              f"dataset {_time.perf_counter() - t_ck:.1f}s", flush=True)
+              f"dataset {time.perf_counter() - t_ck:.1f}s", flush=True)
         self._setup(
             model_config, params, vocoder, denoiser,
             encode_fn=lambda t: np.asarray(self.trainset.get_text(t)),
@@ -203,8 +206,7 @@ class Synthesizer:
             lambda p: fold_norms(precompute_inverses(p), matmul_dtype=md))
         if self._aot is not None:
             fold_jit = self._aot.wrap("fold", fold_jit)
-        import time as _time
-        tic = _time.perf_counter()
+        tic = time.perf_counter()
         # explicit host->device transfer FIRST, so the upload is pinned
         # here (startup) rather than inside the AOT fold call. Measured
         # on the tunneled v5e (warm client, readback-synced): the 917 MB
@@ -231,7 +233,7 @@ class Synthesizer:
                 jax.tree_util.tree_leaves(self.params)[0])[:1])
             jax.block_until_ready((self.vocoder, self.denoiser))
             np.asarray(jnp.ravel(self.denoiser["bias_spec"])[:1])
-        print(f"[synthesizer] fold+upload {_time.perf_counter() - tic:.1f}s",
+        print(f"[synthesizer] fold+upload {time.perf_counter() - tic:.1f}s",
               flush=True)
         if self._repl is not None:
             self.params = jax.device_put(self.params, self._repl)
